@@ -1,0 +1,35 @@
+"""Static configuration for the TPU tile rasterizer."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizerConfig:
+    """Static (compile-time) rasterizer parameters.
+
+    The CUDA reference uses 16x16 pixel tiles (config.h:16-17); on TPU we use
+    32x32 = 1024 pixels so a tile's pixel vector fills exactly one (8, 128)
+    f32 VPU/VMEM native tile, and per-chunk compositing matmuls are MXU-sized.
+    """
+
+    tile: int = 32                  # pixel tile edge (tile*tile == 1024)
+    chunk: int = 128                # Gaussians composited per MXU chunk
+    pair_capacity: int = 1 << 20    # max (tile, gaussian) pairs per frame
+    # Numerical-semantics constants (identical to the CUDA reference):
+    alpha_clamp: float = 0.99       # max per-gaussian alpha (forward.cu:346)
+    alpha_min: float = 1.0 / 255.0  # skip threshold (forward.cu:347)
+    transmittance_eps: float = 1e-4  # early-stop threshold (forward.cu:349)
+    near: float = 0.2               # near-cull view-space z (auxiliary.h:154)
+    dilation: float = 0.3           # low-pass cov2d dilation (forward.cu:110)
+    fov_clamp: float = 1.3          # EWA tangent-plane clamp (forward.cu:86)
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile * self.tile
+
+    def grid_size(self, width: int, height: int):
+        gx = -(-width // self.tile)
+        gy = -(-height // self.tile)
+        return gx, gy

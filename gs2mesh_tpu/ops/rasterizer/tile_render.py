@@ -1,0 +1,138 @@
+"""Tile compositing — forward + backward.
+
+Two interchangeable implementations of the hot kernel (the equivalent of the
+CUDA renderCUDA fwd/bwd pair, forward.cu:261-374 / backward.cu:399-557):
+
+  * ``render_tiles_xla`` — pure jnp over a per-tile gathered pair list;
+    differentiable by autodiff. Used on CPU (tests, multi-chip dry runs) and
+    for small scenes.
+  * ``render_tiles_pallas`` (see pallas_kernels.py) — the production TPU
+    path. Grid over image tiles; Gaussian chunks are DMA-streamed through
+    VMEM and composited with MXU matmuls; backward replays forward order and
+    emits deterministic per-pair gradients (no atomics).
+
+Both consume the chunk-aligned pair layout produced by binning.bin_gaussians
+and share the exact saturation semantics of the reference (alpha clamp 0.99,
+1/255 skip, T<1e-4 early stop that excludes the triggering Gaussian).
+
+Pair feature layout (FEAT columns):
+  0:x  1:y  2:conic_a  3:conic_b  4:conic_c  5:opacity  6:r  7:g  8:b
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
+
+FEAT = 16  # padded feature width (TPU-friendly)
+
+
+def pack_pair_features(prep, pair_ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-pair features into a (K, FEAT) array. ``pair_ids == N``
+    selects an appended dummy row (opacity 0 → no contribution/gradient)."""
+    N = prep.means2d.shape[0]
+    z = jnp.zeros((1,), prep.means2d.dtype)
+
+    def pad(col):
+        return jnp.concatenate([col, jnp.zeros((1,), col.dtype)])
+
+    cols = [
+        pad(prep.means2d[:, 0]), pad(prep.means2d[:, 1]),
+        pad(prep.conic[:, 0]), pad(prep.conic[:, 1]), pad(prep.conic[:, 2]),
+        pad(prep.opacity),
+        pad(prep.rgb[:, 0]), pad(prep.rgb[:, 1]), pad(prep.rgb[:, 2]),
+    ]
+    feat = jnp.stack([c[pair_ids] for c in cols], axis=1)   # (K, 9)
+    return jnp.pad(feat, ((0, 0), (0, FEAT - feat.shape[1])))
+
+
+def tile_pixel_coords(tile_idx: jnp.ndarray, gx: int, tile: int):
+    """Pixel coordinates for flat pixel index p = y_local*tile + x_local."""
+    tx = (tile_idx % gx).astype(jnp.float32)
+    ty = (tile_idx // gx).astype(jnp.float32)
+    p = jnp.arange(tile * tile, dtype=jnp.float32)
+    px = tx * tile + (p % tile)
+    py = ty * tile + p // tile
+    return px, py
+
+
+def _composite_tile(feat, valid, px, py, cfg: RasterizerConfig):
+    """Composite L depth-ordered pair rows over one tile's pixels.
+
+    feat: (L, FEAT); valid: (L,) bool; px/py: (P,). Returns (C (3,P), T (P,)).
+    """
+    xy_x = feat[:, 0:1]
+    xy_y = feat[:, 1:2]
+    ca, cb, cc = feat[:, 2:3], feat[:, 3:4], feat[:, 4:5]
+    op = feat[:, 5:6]
+    rgb = feat[:, 6:9]                                     # (L, 3)
+
+    dx = xy_x - px[None, :]
+    dy = xy_y - py[None, :]
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha_raw = op * jnp.exp(power)
+    alpha = jnp.minimum(cfg.alpha_clamp, alpha_raw)
+    passes = (power <= 0.0) & (alpha >= cfg.alpha_min) & valid[:, None]
+    alpha_eff = jnp.where(passes, alpha, 0.0)
+
+    log1m = jnp.log1p(-alpha_eff)
+    cum_incl = jnp.cumsum(log1m, axis=0)
+    T_excl = jnp.exp(cum_incl - log1m)
+    test_T = T_excl * (1.0 - alpha_eff)
+    bad = passes & (test_T < cfg.transmittance_eps)
+    done_incl = jnp.cumsum(bad.astype(jnp.float32), axis=0) > 0
+    accepted = passes & ~done_incl
+
+    alpha_acc = jnp.where(accepted, alpha_eff, 0.0)
+    log1m_acc = jnp.log1p(-alpha_acc)
+    cum_acc = jnp.cumsum(log1m_acc, axis=0)
+    T_acc = jnp.exp(cum_acc - log1m_acc)
+    w = alpha_acc * T_acc                                  # (L, P)
+    C = rgb.T @ w                                          # (3, P)
+    final_T = jnp.exp(cum_acc[-1])
+    return C, final_T
+
+
+def render_tiles_xla(pair_feat: jnp.ndarray,
+                     tile_starts: jnp.ndarray,
+                     tile_counts: jnp.ndarray,
+                     gx: int, gy: int,
+                     cfg: RasterizerConfig,
+                     max_per_tile: int):
+    """Differentiable XLA tile renderer.
+
+    pair_feat: (K, FEAT) chunk-aligned padded pair features (+ at least
+    ``max_per_tile`` rows of slack or masked indexing handles the tail).
+    Returns (color (T, 3, P), final_T (T, P)).
+    """
+    K = pair_feat.shape[0]
+    P = cfg.pixels_per_tile
+    L = max_per_tile
+    num_tiles = gx * gy
+
+    idx = tile_starts[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < tile_counts[:, None]
+    idx = jnp.where(valid & (idx < K), idx, K - 1)
+    feats = pair_feat[idx]                                 # (T, L, FEAT)
+
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    px, py = jax.vmap(lambda t: tile_pixel_coords(t, gx, cfg.tile))(tiles)
+
+    C, final_T = jax.vmap(
+        lambda f, v, x, y: _composite_tile(f, v, x, y, cfg)
+    )(feats, valid, px, py)
+    return C, final_T
+
+
+def assemble_image(color_tiles: jnp.ndarray, final_T_tiles: jnp.ndarray,
+                   gx: int, gy: int, width: int, height: int, tile: int):
+    """(T, 3, tile*tile) tile outputs -> (3, H, W) image + (H, W) final_T."""
+    c = color_tiles.reshape(gy, gx, 3, tile, tile)
+    c = c.transpose(2, 0, 3, 1, 4).reshape(3, gy * tile, gx * tile)
+    t = final_T_tiles.reshape(gy, gx, tile, tile)
+    t = t.transpose(0, 2, 1, 3).reshape(gy * tile, gx * tile)
+    return c[:, :height, :width], t[:height, :width]
