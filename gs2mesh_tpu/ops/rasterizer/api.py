@@ -62,7 +62,14 @@ def rasterize(means3d: jnp.ndarray,
         prep = prep._replace(means2d=prep.means2d + screenspace_offset)
 
     binning = bin_gaussians(prep, camera.width, camera.height, cfg)
+    # Stage boundaries: keep XLA from fusing the index-plumbing stages into
+    # the compositing graph (compile-time pathology on CPU, no perf value).
+    ids, starts, counts = jax.lax.optimization_barrier(
+        (binning.pair_ids, binning.tile_starts, binning.tile_counts))
+    binning = binning._replace(pair_ids=ids, tile_starts=starts,
+                               tile_counts=counts)
     pair_feat = tile_render.pack_pair_features(prep, binning.pair_ids)
+    pair_feat = jax.lax.optimization_barrier(pair_feat)
 
     gx, gy = cfg.grid_size(camera.width, camera.height)
     if impl == "auto":

@@ -3,7 +3,9 @@ multi-chip sharding behavior is testable without a pod."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force override: the session environment pins JAX_PLATFORMS to the hardware
+# plugin; unit tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -11,3 +13,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: XLA-CPU compiles are expensive on this machine.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
