@@ -14,7 +14,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 from gs2mesh_tpu.core.camera import Camera
 from gs2mesh_tpu.core.sh import sh_to_rgb
@@ -51,7 +54,7 @@ def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     R = quat_to_rotmat(rotations)                       # (N, 3, 3)
     S = scales * scale_modifier                          # (N, 3)
     M = R * S[..., None, :]                              # R @ diag(S)
-    return M @ jnp.swapaxes(M, -1, -2)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)
 
 
 def ndc_to_pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -77,8 +80,8 @@ def preprocess(means3d: jnp.ndarray,
     # --- view / clip transforms (row-vector convention, transposed matrices)
     ones = jnp.ones((N, 1), f32)
     p_hom4 = jnp.concatenate([means3d, ones], axis=1)
-    p_view = p_hom4 @ camera.world_view[:, :3]           # (N, 3)
-    p_clip = p_hom4 @ camera.full_proj                   # (N, 4)
+    p_view = jnp.matmul(p_hom4, camera.world_view[:, :3], precision=_HI)
+    p_clip = jnp.matmul(p_hom4, camera.full_proj, precision=_HI)
     p_w = 1.0 / (p_clip[:, 3] + 1e-7)
     p_proj = p_clip[:, :3] * p_w[:, None]
 
@@ -106,8 +109,9 @@ def preprocess(means3d: jnp.ndarray,
         jnp.stack([zero, fy / tz, -fy * tyz / (tz * tz)], -1),
     ], axis=-2)                                          # (N, 2, 3)
     W = camera.world_view[:3, :3].T                      # view rotation (3,3)
-    Tm = J @ W                                           # (N, 2, 3)
-    cov2d = Tm @ cov3d @ jnp.swapaxes(Tm, -1, -2)        # (N, 2, 2)
+    Tm = jnp.matmul(J, W, precision=_HI)                 # (N, 2, 3)
+    cov2d = jnp.matmul(jnp.matmul(Tm, cov3d, precision=_HI),
+                       jnp.swapaxes(Tm, -1, -2), precision=_HI)
     cov_a = cov2d[:, 0, 0] + cfg.dilation
     cov_b = cov2d[:, 0, 1]
     cov_c = cov2d[:, 1, 1] + cfg.dilation

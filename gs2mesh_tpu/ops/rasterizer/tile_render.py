@@ -32,10 +32,10 @@ FEAT = 16  # padded feature width (TPU-friendly)
 
 
 def pack_pair_features(prep, pair_ids: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-pair features into a (K, FEAT) array. ``pair_ids == N``
-    selects an appended dummy row (opacity 0 → no contribution/gradient)."""
-    N = prep.means2d.shape[0]
-    z = jnp.zeros((1,), prep.means2d.dtype)
+    """Gather per-pair features into a transposed (FEAT, K) array — feature
+    rows, pair columns, so a Pallas chunk slice [:, s:s+128] is lane-aligned.
+    ``pair_ids == N`` selects an appended dummy row (opacity 0 → no
+    contribution/gradient)."""
 
     def pad(col):
         return jnp.concatenate([col, jnp.zeros((1,), col.dtype)])
@@ -46,8 +46,8 @@ def pack_pair_features(prep, pair_ids: jnp.ndarray) -> jnp.ndarray:
         pad(prep.opacity),
         pad(prep.rgb[:, 0]), pad(prep.rgb[:, 1]), pad(prep.rgb[:, 2]),
     ]
-    feat = jnp.stack([c[pair_ids] for c in cols], axis=1)   # (K, 9)
-    return jnp.pad(feat, ((0, 0), (0, FEAT - feat.shape[1])))
+    feat = jnp.stack([c[pair_ids] for c in cols], axis=0)   # (9, K)
+    return jnp.pad(feat, ((0, FEAT - feat.shape[0]), (0, 0)))
 
 
 def tile_pixel_coords(tile_idx: jnp.ndarray, gx: int, tile: int):
@@ -61,15 +61,15 @@ def tile_pixel_coords(tile_idx: jnp.ndarray, gx: int, tile: int):
 
 
 def _composite_tile(feat, valid, px, py, cfg: RasterizerConfig):
-    """Composite L depth-ordered pair rows over one tile's pixels.
+    """Composite L depth-ordered pair columns over one tile's pixels.
 
-    feat: (L, FEAT); valid: (L,) bool; px/py: (P,). Returns (C (3,P), T (P,)).
+    feat: (FEAT, L); valid: (L,) bool; px/py: (P,). Returns (C (3,P), T (P,)).
     """
-    xy_x = feat[:, 0:1]
-    xy_y = feat[:, 1:2]
-    ca, cb, cc = feat[:, 2:3], feat[:, 3:4], feat[:, 4:5]
-    op = feat[:, 5:6]
-    rgb = feat[:, 6:9]                                     # (L, 3)
+    xy_x = feat[0, :, None]
+    xy_y = feat[1, :, None]
+    ca, cb, cc = feat[2, :, None], feat[3, :, None], feat[4, :, None]
+    op = feat[5, :, None]
+    rgb = feat[6:9, :].T                                   # (L, 3)
 
     dx = xy_x - px[None, :]
     dy = xy_y - py[None, :]
@@ -109,7 +109,7 @@ def render_tiles_xla(pair_feat: jnp.ndarray,
     ``max_per_tile`` rows of slack or masked indexing handles the tail).
     Returns (color (T, 3, P), final_T (T, P)).
     """
-    K = pair_feat.shape[0]
+    K = pair_feat.shape[1]
     P = cfg.pixels_per_tile
     L = max_per_tile
     num_tiles = gx * gy
@@ -117,7 +117,7 @@ def render_tiles_xla(pair_feat: jnp.ndarray,
     idx = tile_starts[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < tile_counts[:, None]
     idx = jnp.where(valid & (idx < K), idx, K - 1)
-    feats = pair_feat[idx]                                 # (T, L, FEAT)
+    feats = pair_feat[:, idx].transpose(1, 0, 2)           # (T, FEAT, L)
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     px, py = jax.vmap(lambda t: tile_pixel_coords(t, gx, cfg.tile))(tiles)

@@ -12,6 +12,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize pre-imports jax, so the env var alone is not enough:
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: XLA-CPU compiles are expensive on this machine.
 os.makedirs("/tmp/jax_cache", exist_ok=True)

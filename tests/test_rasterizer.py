@@ -167,3 +167,35 @@ def test_screenspace_offset_grad_exposed():
     g = np.asarray(grad_offset(jnp.zeros((n, 2), jnp.float32)))
     assert g.shape == (n, 2)
     assert np.abs(g).sum() > 0
+
+
+@jax.jit
+def run_pallas(args):
+    return rasterize(*args, CAM, 0, bg=BG, cfg=CFG, impl="pallas")
+
+
+@jax.jit
+def grads_pallas(args):
+    def loss(*a):
+        out = rasterize(*a, CAM, 0, bg=BG, cfg=CFG, impl="pallas")
+        return jnp.mean(out.image ** 2)
+    return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+
+
+def test_pallas_interpret_matches_golden():
+    args = scene_args(256)
+    golden_img, golden_T, _ = run_golden(args)
+    out = run_pallas(args)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(golden_img),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.final_T), np.asarray(golden_T),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_interpret_grads_match_golden():
+    args = scene_args(96)
+    g1 = grads_golden(args)
+    g2 = grads_pallas(args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-3)
