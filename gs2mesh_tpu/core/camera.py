@@ -66,18 +66,26 @@ def projection_matrix(znear: float, zfar: float, fovx: float, fovy: float) -> np
     return P
 
 
-class Camera(NamedTuple):
+import dataclasses
+
+import jax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
     """Jit-friendly camera. Matrices are stored TRANSPOSED (row-vector
     convention), exactly like the reference's ``world_view_transform`` /
-    ``full_proj_transform`` (cameras.py:54-57)."""
+    ``full_proj_transform`` (cameras.py:54-57). ``width``/``height`` are
+    static pytree metadata so grid sizes stay compile-time constants."""
 
     world_view: jnp.ndarray   # (4, 4) = W2V^T
     full_proj: jnp.ndarray    # (4, 4) = (P @ W2V)^T = W2V^T @ P^T
     cam_center: jnp.ndarray   # (3,)
     tan_fovx: jnp.ndarray     # scalar
     tan_fovy: jnp.ndarray     # scalar
-    width: int                # static
-    height: int               # static
+    width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    height: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def focal_x(self):
