@@ -1,0 +1,69 @@
+"""Rasterizer fwd+bwd throughput benchmark (the BASELINE.json headline
+metric: Mpixels/s/chip through a full differentiable render).
+
+Synthetic scene sized like DTU half-res training (300k Gaussians, ~0.5 Mpix
+frame). Counts one fwd+bwd differentiable render of every pixel as the unit
+of work (i.e. train-step-equivalent render throughput).
+
+vs_baseline reference: 12 Mpix/s — the CUDA reference trains 30k iterations
+on ~0.48 Mpix DTU images in roughly 20 minutes on an A40 (~25 it/s), i.e.
+~12 Mpix/s of fwd+bwd rasterization (README.md:49 hardware; no speed numbers
+are published, see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 12.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gs2mesh_tpu.ops.rasterizer import RasterizerConfig, rasterize
+    from __graft_entry__ import _scene
+
+    n_gauss = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    width, height = 960, 576
+    args, cam = _scene(n_gauss, width, height)
+    cfg = RasterizerConfig(pair_capacity=1 << 22)
+
+    target = jnp.zeros((3, height, width), jnp.float32)
+
+    @jax.jit
+    def fwd_bwd(a):
+        def loss(*x):
+            out = rasterize(*x, cam, 0, cfg=cfg)
+            return jnp.mean(jnp.abs(out.image - target)), out.num_pairs
+        (l, npairs), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4),
+                                            has_aux=True)(*a)
+        return l, npairs, g
+
+    # Warmup / compile.
+    l, npairs, g = fwd_bwd(args)
+    jax.block_until_ready(g)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        l, npairs, g = fwd_bwd(args)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    mpix_s = (width * height * iters) / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(mpix_s, 3),
+        "unit": "Mpixels/s/chip",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,14 +22,19 @@ def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_window_np(window_size: int, sigma: float):
     import numpy as np
 
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
     g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return np.outer(g, g).astype(np.float32)
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    # NOTE: convert to jnp at the call site each trace — caching a traced
+    # array would leak tracers across jit/shard_map scopes.
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _filter2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:

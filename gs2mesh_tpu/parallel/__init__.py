@@ -1,0 +1,2 @@
+from gs2mesh_tpu.parallel.mesh import make_mesh, batch_cameras
+from gs2mesh_tpu.parallel.sharded_train import make_sharded_train_step
