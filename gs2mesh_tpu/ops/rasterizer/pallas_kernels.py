@@ -5,31 +5,34 @@ TPU-native re-design of the CUDA renderCUDA fwd/bwd pair
 from the CUDA structure — chosen for the TPU execution model, not translated:
 
   * One grid step per 32x32 image tile; the tile's depth-sorted Gaussian
-    pairs are DMA-streamed from HBM through VMEM in chunks of 128 (the
-    VMEM-resident analog of the CUDA shared-memory staging loop).
-  * Front-to-back alpha compositing is reformulated as MXU matmuls: the
-    exclusive cumulative product of (1-alpha) along the chunk becomes a
-    triangular-matrix matmul in log space, per-Gaussian compositing weights
-    multiply into the color accumulator with a second matmul, and the
-    early-termination "done" flag is a triangular cumulative-OR. No
-    sequential per-Gaussian loop, no data-dependent branches.
+    pairs are DMA-streamed from HBM through VMEM in double-buffered chunks of
+    128 (the VMEM analog of the CUDA shared-memory staging loop, with the
+    next chunk's DMA overlapping the current chunk's math).
+  * Front-to-back alpha compositing is vectorized across the whole chunk:
+    the cumulative log-transmittance along the chunk is a log-depth
+    shift-add scan on the VPU, per-Gaussian compositing weights multiply
+    into the color accumulator with an MXU matmul, and the early-termination
+    "done" flag is a cumulative-count scan. No sequential per-Gaussian loop,
+    no data-dependent branches.
   * The backward pass replays the forward *in forward order* using the
     identity  suffix(g) = total - inclusive_prefix(g)  (the CUDA version
     walks back-to-front with an accum_rec recurrence) and reduces per-pair
-    gradients with moment sums — atomics-free and fully deterministic.
-  * Saturation semantics are bit-matched to the reference: alpha clamp 0.99,
-    alpha < 1/255 skip, power > 0 skip, and the T < 1e-4 stop that excludes
-    the triggering Gaussian. Like the reference backward, gradients do NOT
-    gate on the 0.99 clamp (backward.cu:500-505 differentiates op*G).
+    gradients with closed-form moment sums — atomics-free and fully
+    deterministic.
+  * Saturation semantics match the reference: alpha clamp 0.99, alpha <
+    1/255 skip, power > 0 skip, and the T < 1e-4 stop that excludes the
+    triggering Gaussian. Like the reference backward, gradients do NOT gate
+    on the 0.99 clamp (backward.cu:500-505 differentiates op*G).
 
-Pair ranges are chunk-aligned by binning.bin_gaussians, so every DMA is a
-full (128, FEAT) block and per-pair gradient writes never straddle tiles.
+Pair data is the chunk-transposed (K/chunk, FEAT, chunk) layout produced by
+pack_pair_features, and ranges are chunk-aligned by binning.bin_gaussians, so
+every DMA is a lane-aligned (FEAT, chunk) block and per-pair gradient writes
+never straddle tiles.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +43,7 @@ from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
 from gs2mesh_tpu.ops.rasterizer.tile_render import FEAT
 
 f32 = jnp.float32
+HI = jax.lax.Precision.HIGHEST
 
 
 def _pixel_coords(t, gx: int, tile: int, P: int):
@@ -52,19 +56,24 @@ def _pixel_coords(t, gx: int, tile: int, P: int):
     return px, py
 
 
-def _triangles(chunk: int):
-    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri_excl = (r > c).astype(f32)   # strictly-lower: exclusive prefix
-    tri_incl = (r >= c).astype(f32)  # lower+diag: inclusive prefix
-    return tri_excl, tri_incl
+def _incl_scan(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Inclusive prefix-sum along axis 0 via log-depth shift-adds (VPU).
+
+    ~5x cheaper than the equivalent triangular-matrix matmul at f32-HIGHEST
+    precision for chunk=128 (measured on v5e)."""
+    s = 1
+    while s < chunk:
+        x = x + jnp.concatenate(
+            [jnp.zeros((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
+        s *= 2
+    return x
 
 
 def _chunk_alpha(f, px, py, cfg: RasterizerConfig):
     """Per-chunk alpha computation shared by fwd and bwd replay.
 
-    f: (chunk, FEAT) feature rows (transposed in-kernel from the (FEAT, K)
-    HBM layout). Returns dict of (chunk, P)/(chunk, 1) intermediates."""
+    f: (chunk, FEAT) feature rows (transposed in-kernel from the chunk
+    layout). Returns dict of (chunk, P)/(chunk, 1) intermediates."""
     gxs, gys = f[:, 0:1], f[:, 1:2]
     ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
     op = f[:, 5:6]
@@ -79,52 +88,61 @@ def _chunk_alpha(f, px, py, cfg: RasterizerConfig):
                 G=G, alpha_eff=alpha_eff, rgb=f[:, 6:9])
 
 
+def _composite_core(v, T_pix, done, cfg: RasterizerConfig, chunk: int):
+    """Shared fwd/replay compositing math. Returns dict of intermediates."""
+    alpha_eff = v["alpha_eff"]
+    l1m = jnp.log1p(-alpha_eff)
+    cum_incl = _incl_scan(l1m, chunk)
+    cum_excl = cum_incl - l1m
+    T_g = T_pix * jnp.exp(cum_excl)
+    test_T = T_g * (1.0 - alpha_eff)
+    bad = jnp.where((alpha_eff > 0.0) & (test_T < cfg.transmittance_eps),
+                    1.0, 0.0)
+    done_cum = _incl_scan(bad, chunk)
+    m = jnp.where(done + done_cum > 0.0, 0.0, 1.0)   # accepted mask
+    w = alpha_eff * m * T_g
+    T_new = T_pix * jnp.exp(jnp.sum(l1m * m, axis=0, keepdims=True))
+    done_new = jnp.maximum(
+        done, jnp.where(jnp.sum(bad, axis=0, keepdims=True) > 0.0, 1.0, 0.0))
+    return dict(T_g=T_g, m=m, w=w, T_new=T_new, done_new=done_new)
+
+
 def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
                     color_ref, finalT_ref,
-                    chunk_vmem, sem,
+                    bufs, sems,
                     *, gx: int, cfg: RasterizerConfig):
     tile, chunk = cfg.tile, cfg.chunk
     P = cfg.pixels_per_tile
     t = pl.program_id(0)
-    start = starts_ref[t]
+    c0 = starts_ref[t] // chunk
     nchunks = counts_ref[t] // chunk
 
     px, py = _pixel_coords(t, gx, tile, P)
-    tri_excl, tri_incl = _triangles(chunk)
-
     color_ref[0] = jnp.zeros((3, P), f32)
 
+    def dma(slot, ci):
+        return pltpu.make_async_copy(pairs_hbm.at[c0 + ci], bufs.at[slot],
+                                     sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
     def body(i, carry):
-        T_pix, done = carry                              # (1, P) each
-        dma = pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(pl.multiple_of(start + i * chunk, chunk), chunk)], chunk_vmem, sem)
-        dma.start()
-        dma.wait()
-        v = _chunk_alpha(chunk_vmem[:].T, px, py, cfg)
-        alpha_eff = v["alpha_eff"]
+        T_pix, done = carry
+        slot = jax.lax.rem(i, 2)
 
-        l1m = jnp.log1p(-alpha_eff)
-        cum_excl = jax.lax.dot_general(
-            tri_excl, l1m, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-        T_g = T_pix * jnp.exp(cum_excl)
-        test_T = T_g * (1.0 - alpha_eff)
-        bad = jnp.where((alpha_eff > 0.0) & (test_T < cfg.transmittance_eps),
-                        1.0, 0.0)
-        done_cum = jax.lax.dot_general(
-            tri_incl, bad, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-        m = jnp.where(done + done_cum > 0.0, 0.0, 1.0)   # accepted mask
-        w = alpha_eff * m * T_g                          # (chunk, P)
+        @pl.when(i + 1 < nchunks)
+        def _():
+            dma(1 - slot, i + 1).start()
 
+        dma(slot, i).wait()
+        v = _chunk_alpha(bufs[slot].T, px, py, cfg)
+        c = _composite_core(v, T_pix, done, cfg, chunk)
         color_ref[0] += jax.lax.dot_general(
-            v["rgb"], w, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)                  # (3, P)
-
-        T_new = T_pix * jnp.exp(jnp.sum(l1m * m, axis=0, keepdims=True))
-        done_new = jnp.maximum(
-            done, jnp.where(jnp.sum(bad, axis=0, keepdims=True) > 0.0, 1.0, 0.0))
-        return T_new, done_new
+            v["rgb"], c["w"], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=HI)    # (3, P)
+        return c["T_new"], c["done_new"]
 
     T_fin, _ = jax.lax.fori_loop(
         0, nchunks, body,
@@ -135,16 +153,15 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
 def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
                      color_in_ref, finalT_ref, dC_ref, dTf_ref,
                      dpairs_hbm,
-                     chunk_vmem, gchunk_vmem, sem_in, sem_out,
+                     bufs, gbufs, sems, gsems,
                      *, gx: int, cfg: RasterizerConfig):
     tile, chunk = cfg.tile, cfg.chunk
     P = cfg.pixels_per_tile
     t = pl.program_id(0)
-    start = starts_ref[t]
+    c0 = starts_ref[t] // chunk
     nchunks = counts_ref[t] // chunk
 
     px, py = _pixel_coords(t, gx, tile, P)
-    tri_excl, tri_incl = _triangles(chunk)
 
     dC = dC_ref[0]                                       # (3, P)
     T_fin = finalT_ref[0]                                # (1, P)
@@ -153,38 +170,39 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     U_tot = jnp.sum(color_in_ref[0] * dC, axis=0, keepdims=True)
     dTfT = dTf * T_fin                                   # (1, P)
 
+    def dma_in(slot, ci):
+        return pltpu.make_async_copy(pairs_hbm.at[c0 + ci], bufs.at[slot],
+                                     sems.at[slot])
+
+    def dma_out(slot, ci):
+        return pltpu.make_async_copy(gbufs.at[slot], dpairs_hbm.at[c0 + ci],
+                                     gsems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
     def body(i, carry):
         T_pix, done, U_run = carry
-        dma = pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(pl.multiple_of(start + i * chunk, chunk), chunk)], chunk_vmem, sem_in)
-        dma.start()
-        dma.wait()
-        v = _chunk_alpha(chunk_vmem[:].T, px, py, cfg)
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            dma_in(1 - slot, i + 1).start()
+
+        dma_in(slot, i).wait()
+        v = _chunk_alpha(bufs[slot].T, px, py, cfg)
         alpha_eff = v["alpha_eff"]
         G, op = v["G"], v["op"]
-
-        l1m = jnp.log1p(-alpha_eff)
-        cum_excl = jax.lax.dot_general(
-            tri_excl, l1m, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-        T_g = T_pix * jnp.exp(cum_excl)
-        test_T = T_g * (1.0 - alpha_eff)
-        bad = jnp.where((alpha_eff > 0.0) & (test_T < cfg.transmittance_eps),
-                        1.0, 0.0)
-        done_cum = jax.lax.dot_general(
-            tri_incl, bad, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-        m = jnp.where(done + done_cum > 0.0, 0.0, 1.0)
-        w = alpha_eff * m * T_g
+        c = _composite_core(v, T_pix, done, cfg, chunk)
+        T_g, m, w = c["T_g"], c["m"], c["w"]
 
         # u = c_g . dC per (gaussian, pixel)
         u = jax.lax.dot_general(
             v["rgb"], dC, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)                  # (chunk, P)
+            preferred_element_type=f32, precision=HI)    # (chunk, P)
         uw = u * w
-        U_incl = U_run + jax.lax.dot_general(
-            tri_incl, uw, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+        U_incl = U_run + _incl_scan(uw, chunk)
         S = U_tot - U_incl
 
         acc = m * jnp.where(alpha_eff > 0.0, 1.0, 0.0)
@@ -192,9 +210,12 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         dalpha = acc * (u * T_g - (S + dTfT) * inv1m)
 
         dpower = op * dalpha * G                         # (chunk, P)
-        # Moment reductions over pixels (lane reductions).
+
+        # Moment reductions over pixels (lane reductions) give closed-form
+        # conic/mean gradients without materializing dx/dy products twice.
         def rs(x):
             return jnp.sum(x, axis=1, keepdims=True)     # (chunk, 1)
+
         M0 = rs(dpower)
         Mx = rs(dpower * px)
         My = rs(dpower * py)
@@ -208,35 +229,44 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         Sdx = gxs * M0 - Mx
         Sdy = gys * M0 - My
 
+        d_gx = -(v["ca"] * Sdx + v["cb"] * Sdy)
+        d_gy = -(v["cc"] * Sdy + v["cb"] * Sdx)
         d_ca = -0.5 * Sdx2
         d_cb = -Sdxy
         d_cc = -0.5 * Sdy2
-        d_gx = -(v["ca"] * Sdx + v["cb"] * Sdy)
-        d_gy = -(v["cc"] * Sdy + v["cb"] * Sdx)
         d_op = rs(G * dalpha)
         d_rgb = jax.lax.dot_general(
             w, dC, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)                  # (chunk, 3)
+            preferred_element_type=f32, precision=HI)    # (chunk, 3)
 
         g = jnp.concatenate(
             [d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_rgb,
              jnp.zeros((chunk, FEAT - 9), f32)], axis=1)  # (chunk, FEAT)
-        gchunk_vmem[:] = g.T                              # (FEAT, chunk)
-        out_dma = pltpu.make_async_copy(
-            gchunk_vmem, dpairs_hbm.at[:, pl.ds(pl.multiple_of(start + i * chunk, chunk), chunk)],
-            sem_out)
-        out_dma.start()
-        out_dma.wait()
 
-        T_new = T_pix * jnp.exp(jnp.sum(l1m * m, axis=0, keepdims=True))
-        done_new = jnp.maximum(
-            done, jnp.where(jnp.sum(bad, axis=0, keepdims=True) > 0.0, 1.0, 0.0))
+        # Wait for this slot's previous writeback (chunk i-2) before reuse.
+        @pl.when(i >= 2)
+        def _():
+            dma_out(slot, i - 2).wait()
+
+        gbufs[slot] = g.T                                # (FEAT, chunk)
+        dma_out(slot, i).start()
+
         U_new = U_run + jnp.sum(uw, axis=0, keepdims=True)
-        return T_new, done_new, U_new
+        return c["T_new"], c["done_new"], U_new
 
     jax.lax.fori_loop(
         0, nchunks, body,
-        (jnp.ones((1, P), f32), jnp.zeros((1, P), f32), jnp.zeros((1, P), f32)))
+        (jnp.ones((1, P), f32), jnp.zeros((1, P), f32),
+         jnp.zeros((1, P), f32)))
+
+    # Drain outstanding writebacks.
+    @pl.when(nchunks >= 2)
+    def _():
+        dma_out(jax.lax.rem(nchunks, 2), nchunks - 2).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        dma_out(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
 
 
 def _interpret() -> bool:
@@ -258,8 +288,8 @@ def _fwd_call(pair_feat, tile_starts, tile_counts, gx: int, gy: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((FEAT, cfg.chunk), f32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, FEAT, cfg.chunk), f32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     color, finalT = pl.pallas_call(
@@ -278,7 +308,7 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
               gx: int, gy: int, cfg: RasterizerConfig):
     num_tiles = gx * gy
     P = cfg.pixels_per_tile
-    K = pair_feat.shape[1]
+    KC = pair_feat.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -295,16 +325,16 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
-            pltpu.VMEM((FEAT, cfg.chunk), f32),
-            pltpu.VMEM((FEAT, cfg.chunk), f32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, FEAT, cfg.chunk), f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dpairs = pl.pallas_call(
         functools.partial(_backward_kernel, gx=gx, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((FEAT, K), f32)],
+        out_shape=[jax.ShapeDtypeStruct((KC, FEAT, cfg.chunk), f32)],
         interpret=_interpret(),
     )(tile_starts, tile_counts, pair_feat, color,
       finalT[:, None, :], dC, dTf[:, None, :])[0]
@@ -329,10 +359,10 @@ def _vjp_bwd(gx, gy, cfg, res, cot):
     dC, dTf = cot
     dpairs = _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT,
                        dC, dTf, gx, gy, cfg)
-    # Zero rows the kernel never visited (slots past the last padded range).
-    total = tile_starts[-1] + tile_counts[-1]
-    valid = jnp.arange(pair_feat.shape[1], dtype=jnp.int32) < total
-    dpairs = jnp.where(valid[None, :], dpairs, 0.0)
+    # Zero chunks the kernel never visited (past the last padded range).
+    total_chunks = (tile_starts[-1] + tile_counts[-1]) // cfg.chunk
+    valid = jnp.arange(pair_feat.shape[0], dtype=jnp.int32) < total_chunks
+    dpairs = jnp.where(valid[:, None, None], dpairs, 0.0)
     return dpairs, None, None
 
 

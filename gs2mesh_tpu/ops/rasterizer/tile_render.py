@@ -31,23 +31,27 @@ from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
 FEAT = 16  # padded feature width (TPU-friendly)
 
 
-def pack_pair_features(prep, pair_ids: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-pair features into a transposed (FEAT, K) array — feature
-    rows, pair columns, so a Pallas chunk slice [:, s:s+128] is lane-aligned.
-    ``pair_ids == N`` selects an appended dummy row (opacity 0 → no
-    contribution/gradient)."""
+def pack_pair_features(prep, pair_ids: jnp.ndarray,
+                       chunk: int = 128) -> jnp.ndarray:
+    """Gather per-pair features into a chunk-transposed (K/chunk, FEAT,
+    chunk) array: one fused row gather (XLA-TPU 1-D gathers are ~20x
+    slower), then a per-chunk transpose so every Pallas DMA block is a
+    lane-aligned (FEAT, chunk) tile. ``pair_ids == N`` selects an appended
+    dummy row (opacity 0 → no contribution/gradient)."""
+    N = prep.means2d.shape[0]
+    K = pair_ids.shape[0]
+    rows = jnp.concatenate([
+        prep.means2d, prep.conic, prep.opacity[:, None], prep.rgb,
+        jnp.zeros((N, FEAT - 9), jnp.float32)], axis=1)     # (N, FEAT)
+    rows = jnp.concatenate([rows, jnp.zeros((1, FEAT), jnp.float32)], axis=0)
+    g = rows[pair_ids]                                      # (K, FEAT)
+    return g.reshape(K // chunk, chunk, FEAT).transpose(0, 2, 1)
 
-    def pad(col):
-        return jnp.concatenate([col, jnp.zeros((1,), col.dtype)])
 
-    cols = [
-        pad(prep.means2d[:, 0]), pad(prep.means2d[:, 1]),
-        pad(prep.conic[:, 0]), pad(prep.conic[:, 1]), pad(prep.conic[:, 2]),
-        pad(prep.opacity),
-        pad(prep.rgb[:, 0]), pad(prep.rgb[:, 1]), pad(prep.rgb[:, 2]),
-    ]
-    feat = jnp.stack([c[pair_ids] for c in cols], axis=0)   # (9, K)
-    return jnp.pad(feat, ((0, FEAT - feat.shape[0]), (0, 0)))
+def pair_features_2d(pairs3d: jnp.ndarray) -> jnp.ndarray:
+    """(K/chunk, FEAT, chunk) -> (FEAT, K) view for the XLA path."""
+    kc, feat, chunk = pairs3d.shape
+    return pairs3d.transpose(1, 0, 2).reshape(feat, kc * chunk)
 
 
 def tile_pixel_coords(tile_idx: jnp.ndarray, gx: int, tile: int):
@@ -105,10 +109,10 @@ def render_tiles_xla(pair_feat: jnp.ndarray,
                      max_per_tile: int):
     """Differentiable XLA tile renderer.
 
-    pair_feat: (K, FEAT) chunk-aligned padded pair features (+ at least
-    ``max_per_tile`` rows of slack or masked indexing handles the tail).
-    Returns (color (T, 3, P), final_T (T, P)).
+    pair_feat: (K/chunk, FEAT, chunk) chunk-transposed padded pair
+    features. Returns (color (T, 3, P), final_T (T, P)).
     """
+    pair_feat = pair_features_2d(pair_feat)
     K = pair_feat.shape[1]
     P = cfg.pixels_per_tile
     L = max_per_tile

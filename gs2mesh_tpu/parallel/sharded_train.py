@@ -71,7 +71,10 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
     binning = bin_gaussians(prep, camera.width, camera.height, rcfg)
     ids, starts, counts = jax.lax.optimization_barrier(
         (binning.pair_ids, binning.tile_starts, binning.tile_counts))
-    pair_feat = tile_render.pack_pair_features(prep, ids)
+    binning = binning._replace(pair_ids=ids, tile_starts=starts,
+                               tile_counts=counts)
+    from gs2mesh_tpu.ops.rasterizer.pack import pack_pair_features_fast
+    pair_feat = pack_pair_features_fast(prep, binning, rcfg)
     pair_feat = jax.lax.optimization_barrier(pair_feat)
     gx, gy = rcfg.grid_size(camera.width, camera.height)
     if impl == "pallas":
