@@ -1,0 +1,290 @@
+"""Block-sparse TSDF volume, TPU-first.
+
+Replaces the reference's Open3D ``ScalableTSDFVolume`` (tsdf_utils.py:53-107):
+same integration semantics — per-view projective SDF update with nearest-depth
+lookup, truncation ``sdf >= -sdf_trunc``, running weighted average of TSDF and
+color — re-expressed as fully static-shape JAX ops over a fixed-capacity block
+table:
+
+  * the volume is a set of ``block_size``³-voxel blocks addressed by packed
+    30-bit block coordinates; voxel data lives at a stable slot for the
+    lifetime of the volume (append-only), so allocation never moves voxel
+    arrays — only a (C,) key index is re-sorted,
+  * ``integrate`` updates every allocated block's voxels in one vectorized
+    pass (no per-pixel scatter); the depth/color lookup is a single fused
+    row gather from an (H*W, 8) image table (1-D gathers are ~20x slower
+    than row gathers on TPU),
+  * block allocation back-projects a strided pixel grid through the depth
+    map, samples the truncation band along each ray, and merges the packed
+    block keys into the table with sort/unique — static shapes, overflow
+    reported rather than silently dropped.
+
+Open3D reference semantics: Open3D ScalableTSDFVolume integrates with
+``voxel_length = TSDF_voxel / 512``, ``sdf_trunc``, RGB color averaging, and
+per-view ``depth_trunc`` (tsdf_utils.py:53-56, 88-107).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+_COORD_BITS = 10
+_COORD_OFF = 1 << (_COORD_BITS - 1)          # 512: block coords in [-512, 511]
+_COORD_MASK = (1 << _COORD_BITS) - 1
+EMPTY_KEY = np.int32(1 << 30)                # sorts after every packed key
+
+
+class TSDFConfig(NamedTuple):
+    """Static TSDF parameters (compile-time constants)."""
+
+    voxel_size: float = 2.0 / 512            # reference default TSDF_voxel=2
+    sdf_trunc: float = 0.04                  # tsdf_utils.py:55
+    block_size: int = 8                      # voxels per block edge
+    block_capacity: int = 1 << 13            # max allocated blocks
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    alloc_stride: int = 4                    # pixel stride for allocation
+
+    @property
+    def block_extent(self) -> float:
+        return self.voxel_size * self.block_size
+
+
+class TSDFVolume(NamedTuple):
+    """Fixed-capacity block-sparse volume (a pytree of static-shape arrays).
+
+    Voxel data is stored flat per block; slot order is insertion order and
+    never changes. ``order`` is the argsort of ``keys`` so membership tests
+    are a searchsorted over ``keys[order]``.
+    """
+
+    keys: jnp.ndarray       # (C,) int32 packed block coords; EMPTY_KEY if free
+    order: jnp.ndarray      # (C,) int32 argsort of keys
+    tsdf: jnp.ndarray       # (C, bs**3) f32
+    weight: jnp.ndarray     # (C, bs**3) f32
+    color: jnp.ndarray      # (C, bs**3, 3) f32
+    n_blocks: jnp.ndarray   # () int32
+    overflow: jnp.ndarray   # () bool — block capacity exceeded
+
+
+def create_volume(cfg: TSDFConfig) -> TSDFVolume:
+    C, V = cfg.block_capacity, cfg.block_size ** 3
+    return TSDFVolume(
+        keys=jnp.full((C,), EMPTY_KEY, i32),
+        order=jnp.arange(C, dtype=i32),
+        tsdf=jnp.zeros((C, V), f32),
+        weight=jnp.zeros((C, V), f32),
+        color=jnp.zeros((C, V, 3), f32),
+        n_blocks=jnp.zeros((), i32),
+        overflow=jnp.zeros((), bool),
+    )
+
+
+def pack_keys(coords: jnp.ndarray) -> jnp.ndarray:
+    """(…, 3) int block coords -> packed int32 key (EMPTY_KEY if out of range)."""
+    c = coords + _COORD_OFF
+    ok = jnp.all((c >= 0) & (c <= _COORD_MASK), axis=-1)
+    key = (c[..., 0] << (2 * _COORD_BITS)) | (c[..., 1] << _COORD_BITS) | c[..., 2]
+    return jnp.where(ok, key.astype(i32), EMPTY_KEY)
+
+
+def unpack_keys(keys: np.ndarray) -> np.ndarray:
+    """Packed int32 keys -> (…, 3) int block coords (host-side)."""
+    k = np.asarray(keys, np.int64)
+    x = (k >> (2 * _COORD_BITS)) & _COORD_MASK
+    y = (k >> _COORD_BITS) & _COORD_MASK
+    z = k & _COORD_MASK
+    return np.stack([x, y, z], axis=-1).astype(np.int32) - _COORD_OFF
+
+
+def _image_table(color: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) color + (H, W) depth -> (H*W, 8) row table
+    [depth, r, g, b, 0…] for one fused row gather per voxel."""
+    H, W = depth.shape
+    rows = jnp.concatenate([
+        depth.reshape(-1, 1).astype(f32),
+        color.reshape(-1, 3).astype(f32),
+        jnp.zeros((H * W, 4), f32),
+    ], axis=1)
+    return rows
+
+
+def _local_offsets(bs: int) -> jnp.ndarray:
+    r = jnp.arange(bs, dtype=f32)
+    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)   # (bs**3, 3)
+
+
+def integrate(vol: TSDFVolume, color: jnp.ndarray, depth: jnp.ndarray,
+              K: jnp.ndarray, extrinsic: jnp.ndarray,
+              depth_trunc: float | jnp.ndarray,
+              cfg: TSDFConfig) -> TSDFVolume:
+    """Fuse one RGB-D view. Mirrors Open3D's projective TSDF update
+    (UniformTSDFVolume::Integrate semantics as used by tsdf_utils.py:106).
+
+    color: (H, W, 3) float in [0, 1]; depth: (H, W) metric, 0 = invalid;
+    K: (3, 3) pinhole intrinsics; extrinsic: (4, 4) world->camera.
+    """
+    bs = cfg.block_size
+    H, W = depth.shape
+    origin = jnp.asarray(cfg.origin, f32)
+
+    coords = unpack_keys_jnp(vol.keys)                       # (C, 3) int32
+    base = coords.astype(f32) * bs                           # voxel units
+    pts = (base[:, None, :] + _local_offsets(bs)[None] + 0.5) \
+        * cfg.voxel_size + origin                            # (C, V, 3) world
+    allocated = (vol.keys != EMPTY_KEY)[:, None]             # (C, 1)
+
+    R = extrinsic[:3, :3].astype(f32)
+    t = extrinsic[:3, 3].astype(f32)
+    cam = pts @ R.T + t                                      # (C, V, 3)
+    z = cam[..., 2]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    # Open3D rounds to nearest pixel for the depth lookup.
+    u = jnp.round(fx * cam[..., 0] / z + cx).astype(i32)
+    v = jnp.round(fy * cam[..., 1] / z + cy).astype(i32)
+    inb = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+
+    rows = _image_table(color, depth)                        # (H*W, 8)
+    lin = jnp.clip(v * W + u, 0, H * W - 1)
+    got = rows[lin.reshape(-1)].reshape(z.shape + (8,))      # fused row gather
+    d = got[..., 0]
+    rgb = got[..., 1:4]
+
+    valid = inb & allocated & (d > 0) & (d < depth_trunc)
+    sdf = d - z
+    valid = valid & (sdf >= -cfg.sdf_trunc)
+    tsdf_obs = jnp.minimum(sdf / cfg.sdf_trunc, 1.0)
+
+    w_old = vol.weight
+    w_new = jnp.where(valid, w_old + 1.0, w_old)
+    denom = jnp.maximum(w_new, 1.0)
+    tsdf_new = jnp.where(valid, (vol.tsdf * w_old + tsdf_obs) / denom, vol.tsdf)
+    color_new = jnp.where(valid[..., None],
+                          (vol.color * w_old[..., None] + rgb) / denom[..., None],
+                          vol.color)
+    return vol._replace(tsdf=tsdf_new, weight=w_new, color=color_new)
+
+
+def unpack_keys_jnp(keys: jnp.ndarray) -> jnp.ndarray:
+    x = (keys >> (2 * _COORD_BITS)) & _COORD_MASK
+    y = (keys >> _COORD_BITS) & _COORD_MASK
+    z = keys & _COORD_MASK
+    return jnp.stack([x, y, z], axis=-1) - _COORD_OFF
+
+
+def allocate(vol: TSDFVolume, depth: jnp.ndarray, K: jnp.ndarray,
+             extrinsic: jnp.ndarray, depth_trunc: float | jnp.ndarray,
+             cfg: TSDFConfig) -> TSDFVolume:
+    """Allocate every block the view's truncation band touches.
+
+    Back-projects a ``alloc_stride``-strided pixel grid to points at depths
+    d + s for s sampled across [-sdf_trunc, +sdf_trunc], maps the points to
+    block keys, and appends the fresh ones. Voxel data never moves; only the
+    (C,) sorted key index is rebuilt.
+    """
+    bs_world = cfg.block_extent
+    H, W = depth.shape
+    s = cfg.alloc_stride
+    origin = jnp.asarray(cfg.origin, f32)
+
+    vv, uu = jnp.meshgrid(jnp.arange(0, H, s), jnp.arange(0, W, s),
+                          indexing="ij")
+    d = depth[vv, uu]                                        # strided slice
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    ray = jnp.stack([(uu.astype(f32) - cx) / fx,
+                     (vv.astype(f32) - cy) / fy,
+                     jnp.ones_like(d)], axis=-1)             # (h, w, 3) cam
+
+    # Enough samples that consecutive ones are < one block edge apart, plus
+    # one-block padding on each side (a strided pixel footprint can cross a
+    # block boundary between sampled rays).
+    n_samp = max(int(np.ceil(2.0 * cfg.sdf_trunc / bs_world)) + 1, 2) + 2
+    offs = jnp.linspace(-cfg.sdf_trunc - bs_world,
+                        cfg.sdf_trunc + bs_world, n_samp)    # (S,)
+
+    R = extrinsic[:3, :3].astype(f32)
+    t = extrinsic[:3, 3].astype(f32)
+    cam_pts = ray[None] * (d[None, ..., None] + offs[:, None, None, None])
+    world = (cam_pts - t) @ R                                # (S, h, w, 3)
+    block = jnp.floor((world - origin) / bs_world).astype(i32)
+    keys = pack_keys(block).reshape(-1)
+    ok = (d > 0) & (d < depth_trunc)
+    keys = jnp.where(jnp.broadcast_to(ok[None], (n_samp,) + d.shape)
+                     .reshape(-1), keys, EMPTY_KEY)
+    return _merge_keys(vol, keys, cfg)
+
+
+def _merge_keys(vol: TSDFVolume, cand: jnp.ndarray,
+                cfg: TSDFConfig) -> TSDFVolume:
+    C = cfg.block_capacity
+    cand = jnp.sort(cand)
+    uniq = jnp.concatenate([jnp.array([True]), cand[1:] != cand[:-1]])
+    uniq = uniq & (cand != EMPTY_KEY)
+
+    # Membership test against the sorted existing keys.
+    keys_sorted = vol.keys[vol.order]
+    pos = jnp.searchsorted(keys_sorted, cand)
+    member = keys_sorted[jnp.clip(pos, 0, C - 1)] == cand
+    fresh = uniq & ~member
+
+    rank = jnp.cumsum(fresh) - 1                             # (M,)
+    slot = vol.n_blocks + rank.astype(i32)
+    n_fresh = jnp.sum(fresh).astype(i32)
+    overflow = vol.overflow | (vol.n_blocks + n_fresh > C)
+    dest = jnp.where(fresh & (slot < C), slot, C)            # drop-out idx
+    new_keys = vol.keys.at[dest].set(cand, mode="drop")
+    n_new = jnp.minimum(vol.n_blocks + n_fresh, C)
+    order = jnp.argsort(new_keys).astype(i32)
+    return vol._replace(keys=new_keys, order=order, n_blocks=n_new,
+                        overflow=overflow)
+
+
+def integrate_view(vol: TSDFVolume, color: jnp.ndarray, depth: jnp.ndarray,
+                   K: jnp.ndarray, extrinsic: jnp.ndarray,
+                   depth_trunc: float | jnp.ndarray,
+                   cfg: TSDFConfig) -> TSDFVolume:
+    """allocate + integrate (the per-view step of TSDF.run, tsdf_utils.py:59-107)."""
+    vol = allocate(vol, depth, K, extrinsic, depth_trunc, cfg)
+    return integrate(vol, color, depth, K, extrinsic, depth_trunc, cfg)
+
+
+def to_dense(vol: TSDFVolume, cfg: TSDFConfig):
+    """Densify allocated blocks into host numpy grids for mesh extraction.
+
+    Returns (tsdf, weight, color, grid_origin_world) where arrays are
+    (X, Y, Z[, 3]) over the bounding box of allocated blocks.
+    """
+    bs = cfg.block_size
+    n = int(vol.n_blocks)
+    keys = np.asarray(vol.keys)
+    alive = keys != EMPTY_KEY
+    coords = unpack_keys(keys[alive])                        # (n, 3)
+    assert coords.shape[0] == n, (coords.shape, n)
+    if n == 0:
+        z = np.zeros((0, 0, 0), np.float32)
+        return z, z, np.zeros((0, 0, 0, 3), np.float32), np.zeros(3, np.float32)
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0) + 1
+    dims = (hi - lo) * bs
+    tsdf = np.zeros(tuple(dims), np.float32)
+    weight = np.zeros(tuple(dims), np.float32)
+    color = np.zeros(tuple(dims) + (3,), np.float32)
+    t = np.asarray(vol.tsdf[alive]).reshape(n, bs, bs, bs)
+    w = np.asarray(vol.weight[alive]).reshape(n, bs, bs, bs)
+    c = np.asarray(vol.color[alive]).reshape(n, bs, bs, bs, 3)
+    for idx, (bx, by, bz) in enumerate((coords - lo) * bs):
+        tsdf[bx:bx + bs, by:by + bs, bz:bz + bs] = t[idx]
+        weight[bx:bx + bs, by:by + bs, bz:bz + bs] = w[idx]
+        color[bx:bx + bs, by:by + bs, bz:bz + bs] = c[idx]
+    grid_origin = np.asarray(cfg.origin, np.float32) + \
+        lo.astype(np.float32) * bs * cfg.voxel_size
+    return tsdf, weight, color, grid_origin
