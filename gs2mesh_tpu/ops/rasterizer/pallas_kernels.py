@@ -69,6 +69,16 @@ def _incl_scan(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return x
 
 
+def _incl_prod(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Inclusive prefix-product along axis 0 (same shift-op scan, with *)."""
+    s = 1
+    while s < chunk:
+        x = x * jnp.concatenate(
+            [jnp.ones((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
+        s *= 2
+    return x
+
+
 def _chunk_alpha(f, px, py, cfg: RasterizerConfig):
     """Per-chunk alpha computation shared by fwd and bwd replay.
 
@@ -89,21 +99,35 @@ def _chunk_alpha(f, px, py, cfg: RasterizerConfig):
 
 
 def _composite_core(v, T_pix, done, cfg: RasterizerConfig, chunk: int):
-    """Shared fwd/replay compositing math. Returns dict of intermediates."""
+    """Shared fwd/replay compositing math. Returns dict of intermediates.
+
+    Transmittance runs as a direct multiplicative prefix scan (no log/exp
+    round-trip). The inclusive product s_g = T_pix * prod_{g'<=g}(1-a_g') is
+    monotone non-increasing along the chunk, so the CUDA early-stop semantics
+    (backward.cu / forward.cu:347-351: a pixel freezes at the first Gaussian
+    whose post-composite T drops below eps, with that Gaussian excluded)
+    reduce to a single threshold test on s — no second scan needed:
+      m_g    = (not done) & (s_g >= eps)
+      T_new  = done ? T_pix : min_g( s_g >= eps ? s_g : T_pix )
+      done'  = done | (s_last < eps)
+    s only crosses eps at an accepted Gaussian, so this matches the
+    accept-gated recurrence of the reference exactly."""
     alpha_eff = v["alpha_eff"]
-    l1m = jnp.log1p(-alpha_eff)
-    cum_incl = _incl_scan(l1m, chunk)
-    cum_excl = cum_incl - l1m
-    T_g = T_pix * jnp.exp(cum_excl)
-    test_T = T_g * (1.0 - alpha_eff)
-    bad = jnp.where((alpha_eff > 0.0) & (test_T < cfg.transmittance_eps),
-                    1.0, 0.0)
-    done_cum = _incl_scan(bad, chunk)
-    m = jnp.where(done + done_cum > 0.0, 0.0, 1.0)   # accepted mask
+    eps = cfg.transmittance_eps
+    q = _incl_prod(1.0 - alpha_eff, chunk)                  # inclusive prod
+    s = T_pix * q
+    T_g = jnp.concatenate([T_pix, s[:-1]], axis=0)          # exclusive
+    live = jnp.where(done > 0.0, 0.0, 1.0)
+    ok = jnp.where(s >= eps, 1.0, 0.0)
+    m = live * ok
     w = alpha_eff * m * T_g
-    T_new = T_pix * jnp.exp(jnp.sum(l1m * m, axis=0, keepdims=True))
+    # T_pix is factored out of the min (q <= 1, so the 1-fillers for rejected
+    # rows are neutral), and the done-gating is folded into the mask (done
+    # pixels see all-1 fillers, so min == 1 and T_new == T_pix). Keeping this
+    # a single multiply avoids adds that Mosaic can't lower on (1, P) rows.
+    T_new = T_pix * jnp.min(q * m + (1.0 - m), axis=0, keepdims=True)
     done_new = jnp.maximum(
-        done, jnp.where(jnp.sum(bad, axis=0, keepdims=True) > 0.0, 1.0, 0.0))
+        done, jnp.where(s[-1:] < eps, 1.0, 0.0))
     return dict(T_g=T_g, m=m, w=w, T_new=T_new, done_new=done_new)
 
 
@@ -128,8 +152,15 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     def _():
         dma(0, 0).start()
 
-    def body(i, carry):
-        T_pix, done = carry
+    # Early termination, the TPU analog of the CUDA per-pixel T<eps exit
+    # (forward.cu:347-351): stop streaming chunks once every pixel in the
+    # tile is saturated — all later chunks contribute exactly zero.
+    def cond(state):
+        i, T_pix, done = state
+        return (i < nchunks) & (jnp.min(done) < 0.5)
+
+    def body(state):
+        i, T_pix, done = state
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -142,17 +173,22 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
         color_ref[0] += jax.lax.dot_general(
             v["rgb"], c["w"], (((0,), (0,)), ((), ())),
             preferred_element_type=f32, precision=HI)    # (3, P)
-        return c["T_new"], c["done_new"]
+        return i + 1, c["T_new"], c["done_new"]
 
-    T_fin, _ = jax.lax.fori_loop(
-        0, nchunks, body,
-        (jnp.ones((1, P), f32), jnp.zeros((1, P), f32)))
+    i_end, T_fin, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((1, P), f32), jnp.zeros((1, P), f32)))
     finalT_ref[0] = T_fin
+
+    # Drain the prefetch issued for the chunk after the early exit.
+    @pl.when(i_end < nchunks)
+    def _():
+        dma(jax.lax.rem(i_end, 2), i_end).wait()
 
 
 def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
                      color_in_ref, finalT_ref, dC_ref, dTf_ref,
-                     dpairs_hbm,
+                     dpairs_hbm, ndone_ref,
                      bufs, gbufs, sems, gsems,
                      *, gx: int, cfg: RasterizerConfig):
     tile, chunk = cfg.tile, cfg.chunk
@@ -162,6 +198,11 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     nchunks = counts_ref[t] // chunk
 
     px, py = _pixel_coords(t, gx, tile, P)
+    # Per-tile monomial basis rows [1, px, py, px^2, px*py, py^2] for the
+    # chunk moment matmul in the loop body.
+    basis = jnp.concatenate(
+        [jnp.ones((1, P), f32), px, py, px * px, px * py, py * py],
+        axis=0)                                          # (6, P)
 
     dC = dC_ref[0]                                       # (3, P)
     T_fin = finalT_ref[0]                                # (1, P)
@@ -182,8 +223,15 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     def _():
         dma_in(0, 0).start()
 
-    def body(i, carry):
-        T_pix, done, U_run = carry
+    # Mirrors the forward's early exit: gradients of chunks past the
+    # all-pixels-done point are exactly zero (w == 0, dalpha == 0), so they
+    # are skipped; the VJP wrapper zero-fills them using ndone_ref.
+    def cond(state):
+        i, T_pix, done, U_run = state
+        return (i < nchunks) & (jnp.min(done) < 0.5)
+
+    def body(state):
+        i, T_pix, done, U_run = state
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nchunks)
@@ -211,17 +259,15 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
 
         dpower = op * dalpha * G                         # (chunk, P)
 
-        # Moment reductions over pixels (lane reductions) give closed-form
-        # conic/mean gradients without materializing dx/dy products twice.
-        def rs(x):
-            return jnp.sum(x, axis=1, keepdims=True)     # (chunk, 1)
-
-        M0 = rs(dpower)
-        Mx = rs(dpower * px)
-        My = rs(dpower * py)
-        Mxx = rs(dpower * px * px)
-        Mxy = rs(dpower * px * py)
-        Myy = rs(dpower * py * py)
+        # All six pixel-moment reductions at once as a single (chunk,P)@(P,6)
+        # MXU matmul against the per-tile monomial basis — replaces six VPU
+        # lane reductions. Gives the closed-form conic/mean gradients without
+        # materializing dx/dy products twice.
+        M = jax.lax.dot_general(
+            dpower, basis, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=HI)    # (chunk, 6)
+        M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
+        Mxx, Mxy, Myy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
         gxs, gys = v["gxs"], v["gys"]
         Sdx2 = gxs * gxs * M0 - 2.0 * gxs * Mx + Mxx     # sum dpower*dx^2
         Sdxy = gxs * gys * M0 - gxs * My - gys * Mx + Mxy
@@ -234,7 +280,9 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         d_ca = -0.5 * Sdx2
         d_cb = -Sdxy
         d_cc = -0.5 * Sdy2
-        d_op = rs(G * dalpha)
+        # d_op = sum_p G*dalpha = M0 / op (op > 0 for real rows; padding rows
+        # have dpower == 0 so the guarded division stays exactly zero).
+        d_op = M0 / jnp.maximum(op, 1e-30)
         d_rgb = jax.lax.dot_general(
             w, dC, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=HI)    # (chunk, 3)
@@ -252,21 +300,27 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         dma_out(slot, i).start()
 
         U_new = U_run + jnp.sum(uw, axis=0, keepdims=True)
-        return c["T_new"], c["done_new"], U_new
+        return i + 1, c["T_new"], c["done_new"], U_new
 
-    jax.lax.fori_loop(
-        0, nchunks, body,
-        (jnp.ones((1, P), f32), jnp.zeros((1, P), f32),
+    i_end, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((1, P), f32), jnp.zeros((1, P), f32),
          jnp.zeros((1, P), f32)))
+    ndone_ref[t] = i_end
 
-    # Drain outstanding writebacks.
-    @pl.when(nchunks >= 2)
+    # Drain the input prefetch issued past the early exit.
+    @pl.when(i_end < nchunks)
     def _():
-        dma_out(jax.lax.rem(nchunks, 2), nchunks - 2).wait()
+        dma_in(jax.lax.rem(i_end, 2), i_end).wait()
 
-    @pl.when(nchunks >= 1)
+    # Drain outstanding gradient writebacks.
+    @pl.when(i_end >= 2)
     def _():
-        dma_out(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        dma_out(jax.lax.rem(i_end, 2), i_end - 2).wait()
+
+    @pl.when(i_end >= 1)
+    def _():
+        dma_out(jax.lax.rem(i_end - 1, 2), i_end - 1).wait()
 
 
 def _interpret() -> bool:
@@ -323,7 +377,12 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            # Whole-array SMEM output: the sequential TPU grid lets each
+            # tile's step write its own slot.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, cfg.chunk), f32),
             pltpu.VMEM((2, FEAT, cfg.chunk), f32),
@@ -331,14 +390,15 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    dpairs = pl.pallas_call(
+    dpairs, ndone = pl.pallas_call(
         functools.partial(_backward_kernel, gx=gx, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((KC, FEAT, cfg.chunk), f32)],
+        out_shape=[jax.ShapeDtypeStruct((KC, FEAT, cfg.chunk), f32),
+                   jax.ShapeDtypeStruct((num_tiles,), jnp.int32)],
         interpret=_interpret(),
     )(tile_starts, tile_counts, pair_feat, color,
-      finalT[:, None, :], dC, dTf[:, None, :])[0]
-    return dpairs
+      finalT[:, None, :], dC, dTf[:, None, :])
+    return dpairs, ndone
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -357,12 +417,19 @@ def _vjp_fwd(pair_feat, tile_starts, tile_counts, gx, gy, cfg):
 def _vjp_bwd(gx, gy, cfg, res, cot):
     pair_feat, tile_starts, tile_counts, color, finalT = res
     dC, dTf = cot
-    dpairs = _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT,
-                       dC, dTf, gx, gy, cfg)
-    # Zero chunks the kernel never visited (past the last padded range).
-    total_chunks = (tile_starts[-1] + tile_counts[-1]) // cfg.chunk
-    valid = jnp.arange(pair_feat.shape[0], dtype=jnp.int32) < total_chunks
-    dpairs = jnp.where(valid[:, None, None], dpairs, 0.0)
+    dpairs, ndone = _bwd_call(pair_feat, tile_starts, tile_counts, color,
+                              finalT, dC, dTf, gx, gy, cfg)
+    # Zero chunks the kernel never wrote: per-tile computed range is
+    # [start/chunk, start/chunk + ndone); build the membership mask with a
+    # +1/-1 boundary scatter and a cumsum (no per-chunk gather needed).
+    KC = pair_feat.shape[0]
+    lo = tile_starts // cfg.chunk
+    hi = lo + ndone
+    delta = jnp.zeros((KC + 1,), jnp.int32)
+    delta = delta.at[jnp.minimum(lo, KC)].add(1)
+    delta = delta.at[jnp.minimum(hi, KC)].add(-1)
+    computed = jnp.cumsum(delta[:-1]) > 0
+    dpairs = jnp.where(computed[:, None, None], dpairs, 0.0)
     return dpairs, None, None
 
 
