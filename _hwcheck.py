@@ -1,0 +1,54 @@
+"""Hardware grad check: pallas-on-TPU vs golden, small scene (triage)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs2mesh_tpu.ops.rasterizer import RasterizerConfig, rasterize
+from gs2mesh_tpu.ops.rasterizer.golden import render_golden
+from tests.scenes import look_at_camera, sphere_scene
+
+CFG = RasterizerConfig(pair_capacity=1 << 14)
+CAM = look_at_camera((0.0, 0.0, -3.0), width=96, height=64)
+BG = jnp.array([0.1, 0.2, 0.3], jnp.float32)
+
+
+def main():
+    print("backend:", jax.default_backend())
+    s = sphere_scene(n=256)
+    args = tuple(jnp.asarray(s[k]) for k in
+                 ("means3d", "scales", "rotations", "opacities", "shs"))
+
+    golden_img, golden_T, _ = jax.jit(
+        lambda a: render_golden(*a, CAM, 0, bg=BG, cfg=CFG))(args)
+    out = jax.jit(lambda a: rasterize(*a, CAM, 0, bg=BG, cfg=CFG,
+                                      impl="pallas"))(args)
+    img_err = float(jnp.abs(out.image - golden_img).max())
+    T_err = float(jnp.abs(out.final_T - golden_T).max())
+    print(f"fwd: img maxerr {img_err:.2e}  T maxerr {T_err:.2e}")
+
+    def mkloss(impl):
+        def loss(*a):
+            o = rasterize(*a, CAM, 0, bg=BG, cfg=CFG, impl=impl)
+            return jnp.mean(o.image ** 2)
+        return loss
+
+    def gloss(*a):
+        img, _, _ = render_golden(*a, CAM, 0, bg=BG, cfg=CFG)
+        return jnp.mean(img ** 2)
+
+    g1 = jax.jit(lambda a: jax.grad(gloss, argnums=(0, 1, 2, 3, 4))(*a))(args)
+    g2 = jax.jit(lambda a: jax.grad(mkloss("pallas"),
+                                    argnums=(0, 1, 2, 3, 4))(*a))(args)
+    names = ("means", "scales", "rot", "opac", "shs")
+    ok = True
+    for n, a, b in zip(names, g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max()
+        rel = err / (np.abs(a).max() + 1e-12)
+        print(f"grad {n:6s}: maxabs {err:.3e}  rel {rel:.3e}")
+        ok &= rel < 5e-3
+    print("OK" if ok else "MISMATCH")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,7 @@ def rasterize(means3d: jnp.ndarray,
         (binning.pair_ids, binning.tile_starts, binning.tile_counts))
     binning = binning._replace(pair_ids=ids, tile_starts=starts,
                                tile_counts=counts)
+    del ids, starts, counts
     from gs2mesh_tpu.ops.rasterizer.pack import pack_pair_features_fast
     pair_feat = pack_pair_features_fast(prep, binning, cfg)
     pair_feat = jax.lax.optimization_barrier(pair_feat)

@@ -7,14 +7,19 @@ reference (rasterizer_impl.cu:275-318):
     per-thread emission (no atomics, fully static shapes),
   * all per-slot lookups go through fused row-tables: XLA-TPU 1-D gathers
     are ~20x slower than multi-column row gathers, so per-Gaussian fields
-    (offset/rect/depth) and per-tile fields (edge/padded start) are packed
-    into (rows, 8) tables and fetched with a single row gather each,
-  * the (tile, depth) sort is a stable two-key `jax.lax.sort` carrying the
-    slot id,
-  * per-tile ranges come from vectorized searchsorted,
-  * each tile's pair list is **padded to a multiple of the compositing chunk
-    size**, so the render kernels always stream aligned, full chunks and the
-    backward can write per-pair gradients without partial-chunk masking.
+    (offset/rect/depth) are packed into a (N, 8) table and fetched with a
+    single row gather,
+  * the (tile, depth) sort packs both keys into ONE uint32
+    (tile_id in the top bits, the high bits of the positive-f32 depth —
+    whose bit pattern is order-preserving — below) so `jax.lax.sort` runs
+    single-key with two carried values; quantized-depth ties fall back to
+    the stable emission order, like the reference's stable radix sort,
+  * per-tile [start, start+count) ranges come from vectorized searchsorted
+    over the sorted keys — tiles address the sorted pair array DIRECTLY,
+    with no padded per-tile copy: the render kernels stream whole 128-pair
+    chunks and mask rows outside the tile's range, and the backward
+    accumulates shared boundary chunks sequentially (grid steps on TPU run
+    in order, so no atomics are needed).
 
 Everything here is non-differentiable index plumbing; run it under
 stop_gradient.
@@ -32,19 +37,18 @@ from gs2mesh_tpu.ops.rasterizer.preprocess import Preprocessed
 
 
 class Binning(NamedTuple):
-    pair_ids: jnp.ndarray      # (K,) int32 gaussian index per padded slot;
-                               #   == N (dummy row) for padding slots
-    tile_starts: jnp.ndarray   # (T,) int32 padded start per tile (chunk-aligned)
-    tile_counts: jnp.ndarray   # (T,) int32 padded count per tile (chunk multiple)
-    num_pairs: jnp.ndarray     # () int32 true (unpadded) pair count
-    num_padded: jnp.ndarray    # () int32 padded pair count actually used
-    overflow: jnp.ndarray      # () bool — capacity exceeded (results truncated)
+    pair_ids: jnp.ndarray      # (K,) int32 gaussian index per SORTED slot;
+                               #   == N (dummy row) for slots >= num_pairs
+    tile_starts: jnp.ndarray   # (T,) int32 exact start into the sorted pairs
+    tile_counts: jnp.ndarray   # (T,) int32 exact per-tile pair count
+    num_pairs: jnp.ndarray     # () int32 true pair count
+    overflow: jnp.ndarray      # () bool — capacity exceeded (truncated)
     # Emission-order auxiliaries for the scatter-free gradient reduction
     # (slots in emission order are grouped by gaussian):
-    pad_of_emission: jnp.ndarray  # (K,) int32 padded slot of emission slot
-                                  #   (== K for dropped/invalid slots)
-    emission_ids: jnp.ndarray     # (K,) int32 gaussian id per emission slot
-                                  #   (-1 for invalid slots)
+    emission_of_sorted: jnp.ndarray    # (K,) int32 emission slot of each
+                                       #   sorted slot (a permutation)
+    emission_ids: jnp.ndarray          # (K,) int32 gaussian id per emission
+                                       #   slot (-1 for invalid slots)
     block_chunk_start: jnp.ndarray  # (NB,) int32 first emission chunk per
                                     #   128-gaussian block
     block_chunk_count: jnp.ndarray  # (NB,) int32 emission chunks per block
@@ -97,46 +101,27 @@ def bin_gaussians(prep: Preprocessed, width: int, height: int,
     depth_of_slot = grow[:, 4]
     tile_id = jnp.where(slot_valid, ty * gx + tx, num_tiles)  # sentinel last
 
-    # Stable sort by (tile, depth); ties keep emission (gaussian-index) order,
-    # matching the stable radix sort of the reference. The emission index is
-    # carried through so the permutation can be inverted without a scatter.
+    # Single packed u32 key: [tile_id | depth-msbs]. Positive-f32 bit
+    # patterns are monotone as unsigned ints, so dropping the low `tb` bits
+    # keeps a (quantized) depth order; quantization ties resolve to the
+    # stable emission order, matching the reference's stable radix sort.
+    tb = int(num_tiles + 1).bit_length()                   # static
+    dbits = jax.lax.bitcast_convert_type(depth_of_slot, jnp.uint32) >> tb
+    key = (tile_id.astype(jnp.uint32) << (32 - tb)) | dbits
+
     emission_idx = jnp.arange(K, dtype=i32)
-    tile_s, _, id_s, e_s = jax.lax.sort(
-        (tile_id, depth_of_slot, g.astype(i32), emission_idx),
-        num_keys=2, is_stable=True)
+    key_s, e_s, id_s = jax.lax.sort((key, emission_idx, g), num_keys=1,
+                                    is_stable=True)
+    pair_ids = jnp.where(emission_idx < jnp.minimum(num_pairs, K), id_s, N)
 
-    # Per-tile [start, end) via searchsorted over the sorted tile ids.
-    boundaries = jnp.arange(num_tiles + 1, dtype=i32)
-    edges = jnp.searchsorted(tile_s, boundaries, side="left").astype(i32)
-    counts = edges[1:] - edges[:-1]                        # (T,)
+    # Per-tile [start, start+count) via searchsorted over the sorted keys.
+    boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+                  << jnp.uint32(32 - tb))
+    edges = jnp.searchsorted(key_s, boundaries, side="left").astype(i32)
+    tile_starts = edges[:-1]
+    tile_counts = edges[1:] - edges[:-1]
+    overflow = num_pairs > K
 
-    # Chunk-align each tile's range in a fresh padded slot array.
-    padded_counts = ((counts + chunk - 1) // chunk) * chunk
-    pcum = jnp.cumsum(padded_counts)
-    padded_starts = (pcum - padded_counts).astype(i32)
-    num_padded = pcum[-1]
-    overflow = (num_pairs > K) | (num_padded > K)
-
-    # Per-tile row table: [edge, padded_start] fetched with one row gather.
-    ttable = jnp.stack([
-        edges[:-1].astype(jnp.float32),
-        padded_starts.astype(jnp.float32),
-    ] + [jnp.zeros((num_tiles,), jnp.float32)] * 6, axis=1)  # (T, 8)
-    trow = ttable[jnp.clip(tile_s, 0, num_tiles - 1)]
-    sorted_slot = jnp.arange(K, dtype=i32)
-    in_range = sorted_slot < jnp.minimum(num_pairs, K)
-    dest = trow[:, 1].astype(i32) + (sorted_slot - trow[:, 0].astype(i32))
-    dest = jnp.where(in_range & (dest < K), dest, K)       # drop-out index
-    pair_ids = jnp.full((K,), N, i32).at[dest].set(id_s, mode="drop")
-
-    # Clip padded ranges to capacity so kernels never run off the end.
-    tile_starts = jnp.minimum(padded_starts, K)
-    tile_counts = jnp.minimum(padded_counts, jnp.maximum(K - tile_starts, 0))
-    tile_counts = (tile_counts // chunk) * chunk
-
-    # Invert the sort permutation with a second small sort (scatters are
-    # pathologically slow on TPU): order (e_s, dest) by emission index.
-    _, pad_of_emission = jax.lax.sort((e_s, dest), num_keys=1, is_stable=True)
     emission_ids = jnp.where(slot_valid, g, -1)
 
     # Per-128-gaussian-block emission chunk ranges for the segment-sum kernel.
@@ -151,10 +136,9 @@ def bin_gaussians(prep: Preprocessed, width: int, height: int,
     block_nc = jnp.where(end_pairs > start_pairs, block_nc, 0)
 
     return Binning(pair_ids=pair_ids, tile_starts=tile_starts,
-                   tile_counts=tile_counts.astype(i32),
-                   num_pairs=num_pairs, num_padded=num_padded,
-                   overflow=overflow,
-                   pad_of_emission=pad_of_emission,
+                   tile_counts=tile_counts,
+                   num_pairs=num_pairs, overflow=overflow,
+                   emission_of_sorted=e_s,
                    emission_ids=emission_ids,
                    block_chunk_start=block_c0.astype(i32),
                    block_chunk_count=block_nc.astype(i32))

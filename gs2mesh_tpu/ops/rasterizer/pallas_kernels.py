@@ -79,11 +79,14 @@ def _incl_prod(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return x
 
 
-def _chunk_alpha(f, px, py, cfg: RasterizerConfig):
+def _chunk_alpha(f, px, py, rowmask, cfg: RasterizerConfig):
     """Per-chunk alpha computation shared by fwd and bwd replay.
 
     f: (chunk, FEAT) feature rows (transposed in-kernel from the chunk
-    layout). Returns dict of (chunk, P)/(chunk, 1) intermediates."""
+    layout); rowmask: (chunk, 1) 1.0 for rows inside this tile's exact
+    [start, start+count) pair range (boundary chunks are shared with
+    neighboring tiles). Returns dict of (chunk, P)/(chunk, 1) intermediates.
+    """
     gxs, gys = f[:, 0:1], f[:, 1:2]
     ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
     op = f[:, 5:6]
@@ -93,7 +96,7 @@ def _chunk_alpha(f, px, py, cfg: RasterizerConfig):
     G = jnp.exp(power)
     alpha = jnp.minimum(op * G, cfg.alpha_clamp)
     passes = (power <= 0.0) & (alpha >= cfg.alpha_min)
-    alpha_eff = jnp.where(passes, alpha, 0.0)
+    alpha_eff = jnp.where(passes, alpha, 0.0) * rowmask
     return dict(gxs=gxs, gys=gys, ca=ca, cb=cb, cc=cc, op=op,
                 G=G, alpha_eff=alpha_eff, rgb=f[:, 6:9])
 
@@ -138,11 +141,14 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     tile, chunk = cfg.tile, cfg.chunk
     P = cfg.pixels_per_tile
     t = pl.program_id(0)
-    c0 = starts_ref[t] // chunk
-    nchunks = counts_ref[t] // chunk
+    lo = starts_ref[t]
+    hi = lo + counts_ref[t]
+    c0 = lo // chunk
+    nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
 
     px, py = _pixel_coords(t, gx, tile, P)
     color_ref[0] = jnp.zeros((3, P), f32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     def dma(slot, ci):
         return pltpu.make_async_copy(pairs_hbm.at[c0 + ci], bufs.at[slot],
@@ -168,7 +174,9 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
             dma(1 - slot, i + 1).start()
 
         dma(slot, i).wait()
-        v = _chunk_alpha(bufs[slot].T, px, py, cfg)
+        rowid = (c0 + i) * chunk + row_iota
+        rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
+        v = _chunk_alpha(bufs[slot].T, px, py, rowmask, cfg)
         c = _composite_core(v, T_pix, done, cfg, chunk)
         color_ref[0] += jax.lax.dot_general(
             v["rgb"], c["w"], (((0,), (0,)), ((), ())),
@@ -189,15 +197,24 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
 def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
                      color_in_ref, finalT_ref, dC_ref, dTf_ref,
                      dpairs_hbm, ndone_ref,
-                     bufs, gbufs, sems, gsems,
+                     bufs, gbufs, rbuf, sems, gsems, rsem,
                      *, gx: int, cfg: RasterizerConfig):
     tile, chunk = cfg.tile, cfg.chunk
     P = cfg.pixels_per_tile
     t = pl.program_id(0)
-    c0 = starts_ref[t] // chunk
-    nchunks = counts_ref[t] // chunk
+    lo = starts_ref[t]
+    hi = lo + counts_ref[t]
+    c0 = lo // chunk
+    nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
 
     px, py = _pixel_coords(t, gx, tile, P)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    # Boundary-chunk accumulator: a tile whose range starts mid-chunk shares
+    # its first chunk with the previous tile(s); the sequential TPU grid
+    # guarantees their writeback finished, so we read-add instead of
+    # overwriting. rbuf is zeroed so unshared chunks add exact zeros.
+    rbuf[...] = jnp.zeros((FEAT, chunk), f32)
+    first_shared_tile = jax.lax.rem(lo, chunk) != 0
     # Per-tile monomial basis rows [1, px, py, px^2, px*py, py^2] for the
     # chunk moment matmul in the loop body.
     basis = jnp.concatenate(
@@ -230,16 +247,26 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         i, T_pix, done, U_run = state
         return (i < nchunks) & (jnp.min(done) < 0.5)
 
+    def dma_acc():
+        return pltpu.make_async_copy(dpairs_hbm.at[c0], rbuf, rsem)
+
     def body(state):
         i, T_pix, done, U_run = state
         slot = jax.lax.rem(i, 2)
+        first_shared = (i == 0) & first_shared_tile
+
+        @pl.when(first_shared)
+        def _():
+            dma_acc().start()
 
         @pl.when(i + 1 < nchunks)
         def _():
             dma_in(1 - slot, i + 1).start()
 
         dma_in(slot, i).wait()
-        v = _chunk_alpha(bufs[slot].T, px, py, cfg)
+        rowid = (c0 + i) * chunk + row_iota
+        rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
+        v = _chunk_alpha(bufs[slot].T, px, py, rowmask, cfg)
         alpha_eff = v["alpha_eff"]
         G, op = v["G"], v["op"]
         c = _composite_core(v, T_pix, done, cfg, chunk)
@@ -296,7 +323,12 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         def _():
             dma_out(slot, i - 2).wait()
 
-        gbufs[slot] = g.T                                # (FEAT, chunk)
+        @pl.when(first_shared)
+        def _():
+            dma_acc().wait()
+
+        flag = jnp.where(first_shared, 1.0, 0.0)
+        gbufs[slot] = g.T + rbuf[...] * flag             # (FEAT, chunk)
         dma_out(slot, i).start()
 
         U_new = U_run + jnp.sum(uw, axis=0, keepdims=True)
@@ -321,6 +353,17 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     @pl.when(i_end >= 1)
     def _():
         dma_out(jax.lax.rem(i_end - 1, 2), i_end - 1).wait()
+
+    # Early exit skipped chunks [i_end, nchunks). The VJP zero-fills the
+    # wholly-owned ones, but the LAST chunk may be shared with (read-added
+    # by) the next tiles, so it must hold zeros — write them now that all
+    # slot DMAs are drained.
+    @pl.when((i_end < nchunks) & (nchunks > 0))
+    def _():
+        gbufs[0] = jnp.zeros((FEAT, chunk), f32)
+        zw = dma_out(0, nchunks - 1)
+        zw.start()
+        zw.wait()
 
 
 def _interpret() -> bool:
@@ -386,8 +429,10 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, cfg.chunk), f32),
             pltpu.VMEM((2, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((FEAT, cfg.chunk), f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     dpairs, ndone = pl.pallas_call(
@@ -419,15 +464,27 @@ def _vjp_bwd(gx, gy, cfg, res, cot):
     dC, dTf = cot
     dpairs, ndone = _bwd_call(pair_feat, tile_starts, tile_counts, color,
                               finalT, dC, dTf, gx, gy, cfg)
-    # Zero chunks the kernel never wrote: per-tile computed range is
-    # [start/chunk, start/chunk + ndone); build the membership mask with a
-    # +1/-1 boundary scatter and a cumsum (no per-chunk gather needed).
+    # Zero chunks the kernel never wrote. Per-tile computed chunks are the
+    # contiguous range [lo_c, lo_c + ndone) plus — when the tile exited
+    # early — its last chunk, which the kernel zero-wrote because following
+    # tiles read-add into it. Build the membership mask with +1/-1 boundary
+    # scatters and a cumsum (no per-chunk gather needed).
     KC = pair_feat.shape[0]
-    lo = tile_starts // cfg.chunk
-    hi = lo + ndone
+    chunk = cfg.chunk
+    lo_c = tile_starts // chunk
+    nonempty = tile_counts > 0
+    c_last = jnp.where(nonempty, (tile_starts + tile_counts - 1) // chunk, 0)
+    nch = jnp.where(nonempty, c_last - lo_c + 1, 0)
+    one = jnp.where(nonempty, 1, 0)
     delta = jnp.zeros((KC + 1,), jnp.int32)
-    delta = delta.at[jnp.minimum(lo, KC)].add(1)
-    delta = delta.at[jnp.minimum(hi, KC)].add(-1)
+    delta = delta.at[jnp.where(nonempty, lo_c, KC)].add(one)
+    delta = delta.at[jnp.where(nonempty, jnp.minimum(lo_c + ndone, KC), KC)
+                     ].add(-one)
+    extra = nonempty & (ndone < nch)
+    xone = jnp.where(extra, 1, 0)
+    delta = delta.at[jnp.where(extra, c_last, KC)].add(xone)
+    delta = delta.at[jnp.where(extra, jnp.minimum(c_last + 1, KC), KC)
+                     ].add(-xone)
     computed = jnp.cumsum(delta[:-1]) > 0
     dpairs = jnp.where(computed[:, None, None], dpairs, 0.0)
     return dpairs, None, None

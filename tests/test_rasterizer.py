@@ -100,9 +100,11 @@ def test_binning_pairs_match_brute_force():
         assert got == expected[t], f"tile {t}"
     assert not bool(b.overflow)
     assert int(b.num_pairs) == sum(len(v) for v in expected.values())
-    # Padded ranges are chunk-aligned.
-    assert np.all(starts % CFG.chunk == 0)
-    assert np.all(counts % CFG.chunk == 0)
+    # Ranges are exact (no padding) and tile the sorted pair array.
+    assert int(counts.sum()) == int(b.num_pairs)
+    # emission_of_sorted is a permutation of the slots.
+    pos = np.asarray(b.emission_of_sorted)
+    assert np.array_equal(np.sort(pos), np.arange(pos.shape[0]))
 
 
 def test_xla_render_matches_golden():
