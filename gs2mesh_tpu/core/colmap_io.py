@@ -114,20 +114,28 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     imgs: Dict[int, ColmapImage] = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.strip().startswith("#")]
-    for i in range(0, len(lines), 2):
+        lines = [ln.rstrip("\n") for ln in f
+                 if not ln.strip().startswith("#")]
+    i, n = 0, len(lines)
+    while i < n:
+        if not lines[i].strip():          # blanks between records
+            i += 1
+            continue
         el = lines[i].split()
         img_id = int(el[0])
         qvec = np.array([float(v) for v in el[1:5]])
         tvec = np.array([float(v) for v in el[5:8]])
         cam_id, name = int(el[8]), el[9]
-        if i + 1 < len(lines):
-            el2 = lines[i + 1].split()
-            xys = np.array([float(v) for v in el2]).reshape(-1, 3)[:, :2] if el2 else np.zeros((0, 2))
-            ids = np.array([int(float(v)) for v in el2[2::3]]) if el2 else np.zeros((0,), dtype=np.int64)
+        # The next line is always the POINTS2D list — possibly empty
+        # (COLMAP writes it as a blank line).
+        el2 = lines[i + 1].split() if i + 1 < n else []
+        if el2:
+            xys = np.array([float(v) for v in el2]).reshape(-1, 3)[:, :2]
+            ids = np.array([int(float(v)) for v in el2[2::3]])
         else:
             xys, ids = np.zeros((0, 2)), np.zeros((0,), dtype=np.int64)
         imgs[img_id] = ColmapImage(img_id, qvec, tvec, cam_id, name, xys, ids)
+        i += 2
     return imgs
 
 
