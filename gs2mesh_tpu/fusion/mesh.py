@@ -25,6 +25,11 @@ def cluster_connected_triangles(faces: np.ndarray, num_vertices: int):
     F = faces.shape[0]
     if F == 0:
         return np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+    from gs2mesh_tpu import native
+
+    res = native.triangle_clusters(faces, num_vertices)
+    if res is not None:
+        return res
     # Vertex graph: edges of every triangle.
     rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
     cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])

@@ -127,7 +127,8 @@ class StepOutput(NamedTuple):
 def render_model(params: GaussianParams, alive: jnp.ndarray, camera: Camera,
                  active_sh_degree: int, bg: jnp.ndarray,
                  rcfg: RasterizerConfig, impl: str = "auto",
-                 screenspace_offset=None, max_per_tile: int = 4096):
+                 screenspace_offset=None, max_per_tile: int = 4096,
+                 scale_modifier: float = 1.0):
     """Render current model parameters through ``camera``."""
     opacity = jnp.where(alive, GaussianModel.act_opacity(params), 0.0)
     return rasterize(
@@ -137,6 +138,7 @@ def render_model(params: GaussianParams, alive: jnp.ndarray, camera: Camera,
         opacity,
         GaussianModel.sh_features(params),
         camera, active_sh_degree, bg=bg, cfg=rcfg,
+        scale_modifier=scale_modifier,
         screenspace_offset=screenspace_offset, impl=impl,
         max_per_tile=max_per_tile)
 
