@@ -134,6 +134,10 @@ def _composite_core(v, T_pix, done, cfg: RasterizerConfig, chunk: int):
     return dict(T_g=T_g, m=m, w=w, T_new=T_new, done_new=done_new)
 
 
+SPAN = 4  # chunks streamed per DMA: amortizes the ~2us DMA issue latency
+          # that otherwise dominates (per-chunk compute is ~0.7us on v5e)
+
+
 def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
                     color_ref, finalT_ref,
                     bufs, sems,
@@ -145,53 +149,61 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     hi = lo + counts_ref[t]
     c0 = lo // chunk
     nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
+    nspans = (nchunks + SPAN - 1) // SPAN
 
     px, py = _pixel_coords(t, gx, tile, P)
     color_ref[0] = jnp.zeros((3, P), f32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
-    def dma(slot, ci):
-        return pltpu.make_async_copy(pairs_hbm.at[c0 + ci], bufs.at[slot],
-                                     sems.at[slot])
+    def dma(slot, si):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(c0 + si * SPAN, SPAN)], bufs.at[slot],
+            sems.at[slot])
 
-    @pl.when(nchunks > 0)
+    @pl.when(nspans > 0)
     def _():
         dma(0, 0).start()
 
     # Early termination, the TPU analog of the CUDA per-pixel T<eps exit
-    # (forward.cu:347-351): stop streaming chunks once every pixel in the
-    # tile is saturated — all later chunks contribute exactly zero.
+    # (forward.cu:347-351): stop streaming once every pixel in the tile is
+    # saturated — all later chunks contribute exactly zero. Exit granularity
+    # is one SPAN of chunks.
     def cond(state):
-        i, T_pix, done = state
-        return (i < nchunks) & (jnp.min(done) < 0.5)
+        si, T_pix, done = state
+        return (si < nspans) & (jnp.min(done) < 0.5)
 
     def body(state):
-        i, T_pix, done = state
-        slot = jax.lax.rem(i, 2)
+        si, T_pix, done = state
+        slot = jax.lax.rem(si, 2)
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(si + 1 < nspans)
         def _():
-            dma(1 - slot, i + 1).start()
+            dma(1 - slot, si + 1).start()
 
-        dma(slot, i).wait()
-        rowid = (c0 + i) * chunk + row_iota
-        rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
-        v = _chunk_alpha(bufs[slot].T, px, py, rowmask, cfg)
-        c = _composite_core(v, T_pix, done, cfg, chunk)
-        color_ref[0] += jax.lax.dot_general(
-            v["rgb"], c["w"], (((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=HI)    # (3, P)
-        return i + 1, c["T_new"], c["done_new"]
+        dma(slot, si).wait()
+        acc = jnp.zeros((3, P), f32)
+        for j in range(SPAN):
+            i = si * SPAN + j
+            rowid = (c0 + i) * chunk + row_iota
+            rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
+            v = _chunk_alpha(bufs[slot, j].T, px, py, rowmask, cfg)
+            c = _composite_core(v, T_pix, done, cfg, chunk)
+            acc = acc + jax.lax.dot_general(
+                v["rgb"], c["w"], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=HI)   # (3, P)
+            T_pix, done = c["T_new"], c["done_new"]
+        color_ref[0] += acc
+        return si + 1, T_pix, done
 
-    i_end, T_fin, _ = jax.lax.while_loop(
+    s_end, T_fin, _ = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), jnp.ones((1, P), f32), jnp.zeros((1, P), f32)))
     finalT_ref[0] = T_fin
 
-    # Drain the prefetch issued for the chunk after the early exit.
-    @pl.when(i_end < nchunks)
+    # Drain the prefetch issued for the span after the early exit.
+    @pl.when(s_end < nspans)
     def _():
-        dma(jax.lax.rem(i_end, 2), i_end).wait()
+        dma(jax.lax.rem(s_end, 2), s_end).wait()
 
 
 def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
@@ -206,6 +218,10 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     hi = lo + counts_ref[t]
     c0 = lo // chunk
     nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
+    nspans = (nchunks + SPAN - 1) // SPAN
+    # Spans [0, full_spans) write back as one SPAN-chunk DMA; the tail span
+    # (if any) writes per-chunk so the next tile's chunks are never touched.
+    full_spans = nchunks // SPAN
 
     px, py = _pixel_coords(t, gx, tile, P)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
@@ -228,15 +244,22 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     U_tot = jnp.sum(color_in_ref[0] * dC, axis=0, keepdims=True)
     dTfT = dTf * T_fin                                   # (1, P)
 
-    def dma_in(slot, ci):
-        return pltpu.make_async_copy(pairs_hbm.at[c0 + ci], bufs.at[slot],
-                                     sems.at[slot])
+    def dma_in(slot, si):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(c0 + si * SPAN, SPAN)], bufs.at[slot],
+            sems.at[slot])
 
-    def dma_out(slot, ci):
-        return pltpu.make_async_copy(gbufs.at[slot], dpairs_hbm.at[c0 + ci],
+    def dma_out_span(slot, si):
+        return pltpu.make_async_copy(
+            gbufs.at[slot], dpairs_hbm.at[pl.ds(c0 + si * SPAN, SPAN)],
+            gsems.at[slot])
+
+    def dma_out_chunk(slot, j, ci):
+        return pltpu.make_async_copy(gbufs.at[slot, j],
+                                     dpairs_hbm.at[c0 + ci],
                                      gsems.at[slot])
 
-    @pl.when(nchunks > 0)
+    @pl.when(nspans > 0)
     def _():
         dma_in(0, 0).start()
 
@@ -244,29 +267,17 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     # all-pixels-done point are exactly zero (w == 0, dalpha == 0), so they
     # are skipped; the VJP wrapper zero-fills them using ndone_ref.
     def cond(state):
-        i, T_pix, done, U_run = state
-        return (i < nchunks) & (jnp.min(done) < 0.5)
+        si, T_pix, done, U_run = state
+        return (si < nspans) & (jnp.min(done) < 0.5)
 
     def dma_acc():
         return pltpu.make_async_copy(dpairs_hbm.at[c0], rbuf, rsem)
 
-    def body(state):
-        i, T_pix, done, U_run = state
-        slot = jax.lax.rem(i, 2)
-        first_shared = (i == 0) & first_shared_tile
-
-        @pl.when(first_shared)
-        def _():
-            dma_acc().start()
-
-        @pl.when(i + 1 < nchunks)
-        def _():
-            dma_in(1 - slot, i + 1).start()
-
-        dma_in(slot, i).wait()
+    def chunk_grads(i, T_pix, done, U_run, feat):
+        """Per-chunk gradient math; feat: (FEAT, chunk)."""
         rowid = (c0 + i) * chunk + row_iota
         rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
-        v = _chunk_alpha(bufs[slot].T, px, py, rowmask, cfg)
+        v = _chunk_alpha(feat.T, px, py, rowmask, cfg)
         alpha_eff = v["alpha_eff"]
         G, op = v["G"], v["op"]
         c = _composite_core(v, T_pix, done, cfg, chunk)
@@ -317,57 +328,106 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         g = jnp.concatenate(
             [d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_rgb,
              jnp.zeros((chunk, FEAT - 9), f32)], axis=1)  # (chunk, FEAT)
+        U_new = U_run + jnp.sum(uw, axis=0, keepdims=True)
+        return g.T, c["T_new"], c["done_new"], U_new
 
-        # Wait for this slot's previous writeback (chunk i-2) before reuse.
-        @pl.when(i >= 2)
+    def body(state):
+        si, T_pix, done, U_run = state
+        slot = jax.lax.rem(si, 2)
+        first_shared = (si == 0) & first_shared_tile
+
+        @pl.when(first_shared)
         def _():
-            dma_out(slot, i - 2).wait()
+            dma_acc().start()
+
+        @pl.when(si + 1 < nspans)
+        def _():
+            dma_in(1 - slot, si + 1).start()
+
+        dma_in(slot, si).wait()
+
+        # Wait for this slot's previous writeback (span si-2) before reuse.
+        # A tail span can only ever be the LAST span, so si-2 is always a
+        # full span here.
+        @pl.when(si >= 2)
+        def _():
+            dma_out_span(slot, si - 2).wait()
+
+        gs = []
+        for j in range(SPAN):
+            gT, T_pix, done, U_run = chunk_grads(
+                si * SPAN + j, T_pix, done, U_run, bufs[slot, j])
+            gs.append(gT)
 
         @pl.when(first_shared)
         def _():
             dma_acc().wait()
 
         flag = jnp.where(first_shared, 1.0, 0.0)
-        gbufs[slot] = g.T + rbuf[...] * flag             # (FEAT, chunk)
-        dma_out(slot, i).start()
+        gbufs[slot, 0] = gs[0] + rbuf[...] * flag        # (FEAT, chunk)
+        for j in range(1, SPAN):
+            gbufs[slot, j] = gs[j]
 
-        U_new = U_run + jnp.sum(uw, axis=0, keepdims=True)
-        return i + 1, c["T_new"], c["done_new"], U_new
+        @pl.when(si < full_spans)
+        def _():
+            dma_out_span(slot, si).start()
 
-    i_end, _, _, _ = jax.lax.while_loop(
+        @pl.when(si >= full_spans)
+        def _():
+            # Tail span: chunk-granular writes, waited immediately (the
+            # tail is the last span, so this stalls nothing downstream).
+            for j in range(SPAN):
+                @pl.when(si * SPAN + j < nchunks)
+                def _():
+                    d = dma_out_chunk(slot, j, si * SPAN + j)
+                    d.start()
+                    d.wait()
+
+        return si + 1, T_pix, done, U_run
+
+    s_end, _, _, _ = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), jnp.ones((1, P), f32), jnp.zeros((1, P), f32),
          jnp.zeros((1, P), f32)))
-    ndone_ref[t] = i_end
+    ndone = jnp.minimum(s_end * SPAN, nchunks)
+    ndone_ref[t] = ndone
 
     # Drain the input prefetch issued past the early exit.
-    @pl.when(i_end < nchunks)
+    @pl.when(s_end < nspans)
     def _():
-        dma_in(jax.lax.rem(i_end, 2), i_end).wait()
+        dma_in(jax.lax.rem(s_end, 2), s_end).wait()
 
-    # Drain outstanding gradient writebacks.
-    @pl.when(i_end >= 2)
+    # Drain outstanding span writebacks (the tail span waits inline).
+    @pl.when((s_end >= 2) & (s_end - 2 < full_spans))
     def _():
-        dma_out(jax.lax.rem(i_end, 2), i_end - 2).wait()
+        dma_out_span(jax.lax.rem(s_end, 2), s_end - 2).wait()
 
-    @pl.when(i_end >= 1)
+    @pl.when((s_end >= 1) & (s_end - 1 < full_spans))
     def _():
-        dma_out(jax.lax.rem(i_end - 1, 2), i_end - 1).wait()
+        dma_out_span(jax.lax.rem(s_end - 1, 2), s_end - 1).wait()
 
-    # Early exit skipped chunks [i_end, nchunks). The VJP zero-fills the
+    # Early exit skipped chunks [ndone, nchunks). The VJP zero-fills the
     # wholly-owned ones, but the LAST chunk may be shared with (read-added
     # by) the next tiles, so it must hold zeros — write them now that all
     # slot DMAs are drained.
-    @pl.when((i_end < nchunks) & (nchunks > 0))
+    @pl.when((ndone < nchunks) & (nchunks > 0))
     def _():
-        gbufs[0] = jnp.zeros((FEAT, chunk), f32)
-        zw = dma_out(0, nchunks - 1)
+        gbufs[0, 0] = jnp.zeros((FEAT, chunk), f32)
+        zw = dma_out_chunk(0, 0, nchunks - 1)
         zw.start()
         zw.wait()
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _pad_spans(pair_feat):
+    """Tail-pad by SPAN zero chunks so span DMAs past a tile's last chunk
+    stay in bounds (the extra rows are masked by the in-kernel row mask)."""
+    return jnp.concatenate(
+        [pair_feat,
+         jnp.zeros((SPAN,) + pair_feat.shape[1:], pair_feat.dtype)], axis=0)
 
 
 def _fwd_call(pair_feat, tile_starts, tile_counts, gx: int, gy: int,
@@ -385,7 +445,7 @@ def _fwd_call(pair_feat, tile_starts, tile_counts, gx: int, gy: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, SPAN, FEAT, cfg.chunk), f32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -397,7 +457,7 @@ def _fwd_call(pair_feat, tile_starts, tile_counts, gx: int, gy: int,
             jax.ShapeDtypeStruct((num_tiles, 1, P), f32),
         ],
         interpret=_interpret(),
-    )(tile_starts, tile_counts, pair_feat)
+    )(tile_starts, tile_counts, _pad_spans(pair_feat))
     return color, finalT[:, 0, :]
 
 
@@ -427,8 +487,8 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, cfg.chunk), f32),
-            pltpu.VMEM((2, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, SPAN, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, SPAN, FEAT, cfg.chunk), f32),
             pltpu.VMEM((FEAT, cfg.chunk), f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -441,7 +501,7 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
         out_shape=[jax.ShapeDtypeStruct((KC, FEAT, cfg.chunk), f32),
                    jax.ShapeDtypeStruct((num_tiles,), jnp.int32)],
         interpret=_interpret(),
-    )(tile_starts, tile_counts, pair_feat, color,
+    )(tile_starts, tile_counts, _pad_spans(pair_feat), color,
       finalT[:, None, :], dC, dTf[:, None, :])
     return dpairs, ndone
 
