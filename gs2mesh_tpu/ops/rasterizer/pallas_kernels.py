@@ -47,13 +47,19 @@ HI = jax.lax.Precision.HIGHEST
 
 
 def _pixel_coords(t, gx: int, tile: int, P: int):
-    """(1, P) pixel-center coordinates for flat pixel p = y*tile + x."""
-    tx = (t % gx).astype(f32)
-    ty = (t // gx).astype(f32)
+    """(1, P) TILE-LOCAL pixel coordinates for flat pixel p = y*tile + x,
+    plus the tile origin (ox, oy) scalars.
+
+    All kernel math runs in tile-local coordinates: dx/dy and every moment
+    expression are shift-invariant, and local coords keep the MXU monomial
+    expansion of the quadratic form well-conditioned (global px up to ~1e3
+    would amplify f32 cancellation ~1e4x)."""
+    ox = (t % gx).astype(f32) * tile
+    oy = (t // gx).astype(f32) * tile
     p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = tx * tile + (p & (tile - 1)).astype(f32)
-    py = ty * tile + (p >> 5 if tile == 32 else p // tile).astype(f32)
-    return px, py
+    px = (p & (tile - 1)).astype(f32)
+    py = (p >> 5 if tile == 32 else p // tile).astype(f32)
+    return px, py, ox, oy
 
 
 def _incl_scan(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
@@ -79,26 +85,39 @@ def _incl_prod(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return x
 
 
-def _chunk_alpha(f, px, py, rowmask, cfg: RasterizerConfig):
+def _power_basis(px, py, P: int):
+    """(6, P) monomial basis [1, x, y, x^2, xy, y^2] over tile-local pixel
+    coordinates, shared by the forward quadratic-form matmul and the
+    backward moment matmul."""
+    return jnp.concatenate(
+        [jnp.ones((1, P), f32), px, py, px * px, px * py, py * py], axis=0)
+
+
+def _chunk_alpha(f, px, py, ox, oy, rowmask, cfg: RasterizerConfig):
     """Per-chunk alpha computation shared by fwd and bwd replay.
 
     f: (chunk, FEAT) feature rows (transposed in-kernel from the chunk
-    layout); rowmask: (chunk, 1) 1.0 for rows inside this tile's exact
+    layout); (px, py): (1, P) tile-local pixel coordinates; (ox, oy): tile
+    origin; rowmask: (chunk, 1) 1.0 for rows inside this tile's exact
     [start, start+count) pair range (boundary chunks are shared with
     neighboring tiles). Returns dict of (chunk, P)/(chunk, 1) intermediates.
+
+    Runs on the VPU in tile-local coordinates (dx/dy are shift-invariant;
+    an MXU monomial expansion was tried and is SLOWER — a K=6 contraction
+    at f32-HIGHEST underutilizes the 128-wide systolic array).
     """
-    gxs, gys = f[:, 0:1], f[:, 1:2]
+    gxs, gys = f[:, 0:1] - ox, f[:, 1:2] - oy      # tile-local centers
     ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
     op = f[:, 5:6]
     dx = gxs - px                                  # (chunk, P)
     dy = gys - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = jnp.exp(power)
-    alpha = jnp.minimum(op * G, cfg.alpha_clamp)
-    passes = (power <= 0.0) & (alpha >= cfg.alpha_min)
+    alpha_raw = op * jnp.exp(power)
+    alpha = jnp.minimum(alpha_raw, cfg.alpha_clamp)
+    passes = (power <= 0.0) & (alpha_raw >= cfg.alpha_min)
     alpha_eff = jnp.where(passes, alpha, 0.0) * rowmask
     return dict(gxs=gxs, gys=gys, ca=ca, cb=cb, cc=cc, op=op,
-                G=G, alpha_eff=alpha_eff, rgb=f[:, 6:9])
+                alpha_raw=alpha_raw, alpha_eff=alpha_eff, rgb=f[:, 6:9])
 
 
 def _composite_core(v, T_pix, done, cfg: RasterizerConfig, chunk: int):
@@ -151,7 +170,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
     nspans = (nchunks + SPAN - 1) // SPAN
 
-    px, py = _pixel_coords(t, gx, tile, P)
+    px, py, ox, oy = _pixel_coords(t, gx, tile, P)
     color_ref[0] = jnp.zeros((3, P), f32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
@@ -186,7 +205,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
             i = si * SPAN + j
             rowid = (c0 + i) * chunk + row_iota
             rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
-            v = _chunk_alpha(bufs[slot, j].T, px, py, rowmask, cfg)
+            v = _chunk_alpha(bufs[slot, j].T, px, py, ox, oy, rowmask, cfg)
             c = _composite_core(v, T_pix, done, cfg, chunk)
             acc = acc + jax.lax.dot_general(
                 v["rgb"], c["w"], (((0,), (0,)), ((), ())),
@@ -223,7 +242,10 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     # (if any) writes per-chunk so the next tile's chunks are never touched.
     full_spans = nchunks // SPAN
 
-    px, py = _pixel_coords(t, gx, tile, P)
+    px, py, ox, oy = _pixel_coords(t, gx, tile, P)
+    # Shared (6, P) tile-local monomial basis: forward quadratic form and
+    # backward moment reductions both run as matmuls against it.
+    basis = _power_basis(px, py, P)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     # Boundary-chunk accumulator: a tile whose range starts mid-chunk shares
     # its first chunk with the previous tile(s); the sequential TPU grid
@@ -231,11 +253,6 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     # overwriting. rbuf is zeroed so unshared chunks add exact zeros.
     rbuf[...] = jnp.zeros((FEAT, chunk), f32)
     first_shared_tile = jax.lax.rem(lo, chunk) != 0
-    # Per-tile monomial basis rows [1, px, py, px^2, px*py, py^2] for the
-    # chunk moment matmul in the loop body.
-    basis = jnp.concatenate(
-        [jnp.ones((1, P), f32), px, py, px * px, px * py, py * py],
-        axis=0)                                          # (6, P)
 
     dC = dC_ref[0]                                       # (3, P)
     T_fin = finalT_ref[0]                                # (1, P)
@@ -277,9 +294,9 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         """Per-chunk gradient math; feat: (FEAT, chunk)."""
         rowid = (c0 + i) * chunk + row_iota
         rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
-        v = _chunk_alpha(feat.T, px, py, rowmask, cfg)
+        v = _chunk_alpha(feat.T, px, py, ox, oy, rowmask, cfg)
         alpha_eff = v["alpha_eff"]
-        G, op = v["G"], v["op"]
+        alpha_raw, op = v["alpha_raw"], v["op"]
         c = _composite_core(v, T_pix, done, cfg, chunk)
         T_g, m, w = c["T_g"], c["m"], c["w"]
 
@@ -295,7 +312,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         inv1m = 1.0 / (1.0 - alpha_eff)
         dalpha = acc * (u * T_g - (S + dTfT) * inv1m)
 
-        dpower = op * dalpha * G                         # (chunk, P)
+        dpower = dalpha * alpha_raw                      # = op * dalpha * G
 
         # All six pixel-moment reductions at once as a single (chunk,P)@(P,6)
         # MXU matmul against the per-tile monomial basis — replaces six VPU
