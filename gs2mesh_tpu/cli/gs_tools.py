@@ -246,3 +246,20 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def gs_full_eval(source_paths, output_base: str, iterations=(7000, 30000),
+                 white_background: bool = False) -> dict:
+    """Batch train + render + metrics over scenes (full_eval.py driver)."""
+    results = {}
+    for src in source_paths:
+        name = os.path.basename(os.path.normpath(src))
+        model_path = os.path.join(output_base, name)
+        gs_train(src, model_path, iterations=max(iterations),
+                 save_iterations=list(iterations),
+                 white_background=white_background, eval_split=True,
+                 quiet=True)
+        for it in iterations:
+            gs_render(model_path, src, iteration=it, skip_train=True)
+        results.update(gs_metrics([model_path]))
+    return results
