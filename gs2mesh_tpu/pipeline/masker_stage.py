@@ -105,80 +105,98 @@ class FullMasker(Masker):
 
 
 class SAM2Masker(Masker):
-    """GroundingDINO text-prompt bbox + SAM2 video mask propagation
-    (masker_utils.py:42-359). Requires the external torch checkpoints; the
-    pipeline treats this stage as optional exactly like the reference treats
-    TNT/MipNeRF (no masks)."""
+    """SAM2 video mask propagation (masker_utils.py:42-359) on the NATIVE
+    JAX SAM2 (gs2mesh_tpu.sam2). The frame-0 box comes from (in priority
+    order): an explicit `box`/`points` seed, a GroundingDINO text prompt
+    (external torch package, optional — the reference vendors it), or a
+    whole-image box."""
 
     def __init__(self, renderer, prompt: str = "main_object",
+                 box: Optional[np.ndarray] = None,
+                 points: Optional[np.ndarray] = None,
+                 labels: Optional[np.ndarray] = None,
                  box_threshold: float = 0.35, text_threshold: float = 0.25,
                  sam2_checkpoint: Optional[str] = None,
+                 sam2_params=None, sam2_cfg=None,
                  gdino_checkpoint: Optional[str] = None):
         super().__init__(renderer)
         self.prompt = prompt
+        self.box = box
+        self.points = points
+        self.labels = labels
         self.box_threshold = box_threshold
         self.text_threshold = text_threshold
-        try:
-            from sam2.build_sam import build_sam2_video_predictor  # noqa
-            import groundingdino  # noqa
-        except ImportError as e:
-            raise ImportError(
-                "SAM2Masker needs the external `sam2` and `groundingdino` "
-                "packages + checkpoints (the reference's "
-                "third_party/segment-anything-2 and GroundingDINO). "
-                "Install them or use CopyMasker/FullMasker; the pipeline "
-                "runs without masks (TSDF_use_mask=False) like the "
-                "reference does for TNT/MipNeRF360.") from e
-        self._sam2_ckpt = sam2_checkpoint
         self._gdino_ckpt = gdino_checkpoint
 
-    def segment(self) -> None:
-        import tempfile
+        from gs2mesh_tpu.sam2 import (SAM2Config, SAM2VideoPredictor,
+                                      convert_sam2_checkpoint)
 
-        from PIL import Image
+        if sam2_params is None:
+            if sam2_checkpoint is None:
+                raise ValueError(
+                    "SAM2Masker needs sam2_params or sam2_checkpoint "
+                    "(a released sam2_hiera_*.pt file)")
+            sam2_params = convert_sam2_checkpoint(sam2_checkpoint)
+            name = os.path.basename(sam2_checkpoint)
+            presets = {"tiny": SAM2Config.tiny, "small": SAM2Config.small,
+                       "base_plus": SAM2Config.base_plus,
+                       "large": SAM2Config.large}
+            sam2_cfg = next((v() for k, v in presets.items() if k in name),
+                            SAM2Config.large())
+        self.predictor = SAM2VideoPredictor(sam2_params,
+                                            sam2_cfg or SAM2Config.tiny())
 
-        from sam2.build_sam import build_sam2_video_predictor
-        from groundingdino.util.inference import load_model, predict
-        import groundingdino.datasets.transforms as T
-        import torch
-
-        # JPEG frame dump for the SAM2 video API (masker_utils.py:21-40).
-        tmp = tempfile.mkdtemp(prefix="sam2_frames_")
-        for i in range(len(self.renderer)):
-            left = os.path.join(self.renderer.render_folder_name(i),
-                                "left.png")
-            Image.open(left).convert("RGB").save(
-                os.path.join(tmp, f"{i:04}.jpg"), quality=95)
-
-        predictor = build_sam2_video_predictor(
-            "sam2_hiera_l.yaml", self._sam2_ckpt)
-        state = predictor.init_state(video_path=tmp)
-
-        # GroundingDINO bbox on frame 0 (masker_utils.py:133-162).
+    def _gdino_box(self, img: np.ndarray) -> Optional[np.ndarray]:
+        """Text-prompt bbox via the optional external GroundingDINO
+        (masker_utils.py:133-162); None when unavailable."""
+        try:
+            from groundingdino.util.inference import load_model, predict
+            import groundingdino.datasets.transforms as T
+            import torch
+            from PIL import Image
+        except ImportError:
+            return None
         gd = load_model(self._gdino_ckpt + ".py", self._gdino_ckpt)
-        img0 = Image.open(os.path.join(tmp, "0000.jpg")).convert("RGB")
+        pil = Image.fromarray(img)
         transform = T.Compose([T.RandomResize([800], max_size=1333),
                                T.ToTensor(),
                                T.Normalize([0.485, 0.456, 0.406],
                                            [0.229, 0.224, 0.225])])
-        tens, _ = transform(img0, None)
-        boxes, _, _ = predict(model=gd, image=tens,
-                              caption=self.prompt,
+        tens, _ = transform(pil, None)
+        boxes, _, _ = predict(model=gd, image=tens, caption=self.prompt,
                               box_threshold=self.box_threshold,
                               text_threshold=self.text_threshold)
-        w, h = img0.size
-        box = (boxes[0] * torch.tensor([w, h, w, h]))
-        cx, cy, bw, bh = box.tolist()
-        xyxy = np.array([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2])
+        w, h = pil.size
+        cx, cy, bw, bh = (boxes[0] * torch.tensor([w, h, w, h])).tolist()
+        return np.array([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2])
 
-        predictor.add_new_points_or_box(state, frame_idx=0, obj_id=0,
-                                        box=xyxy)
-        for frame_idx, _, logits in predictor.propagate_in_video(state):
-            mask = (logits[0] > 0).squeeze().cpu().numpy()
-            self.save_mask(frame_idx, mask)
+    def segment(self) -> None:
+        from PIL import Image
+
+        frames = []
+        for i in range(len(self.renderer)):
+            left = os.path.join(self.renderer.render_folder_name(i),
+                                "left.png")
+            frames.append(np.asarray(Image.open(left).convert("RGB")))
+
+        state = self.predictor.init_state(frames=frames)
+        box = self.box
+        if box is None and self.points is None and self._gdino_ckpt:
+            box = self._gdino_box(frames[0])
+        if box is None and self.points is None:
+            h, w = frames[0].shape[:2]
+            box = np.array([0.02 * w, 0.02 * h, 0.98 * w, 0.98 * h])
+        self.predictor.add_new_points_or_box(
+            state, frame_idx=0, obj_id=0, box=box, points=self.points,
+            labels=self.labels)
+        for frame_idx, _, logits in self.predictor.propagate_in_video(state):
+            self.save_mask(frame_idx, logits[0, 0] > 0.0)
 
 
-def init_predictor(base_dir, renderer, args):
+def init_predictor(base_dir, renderer, args, sam2_checkpoint=None,
+                   gdino_checkpoint=None, **kw):
     """Factory mirroring masker_utils.init_predictor (masker_utils.py:42-69)."""
-    return SAM2Masker(renderer, prompt=getattr(args, "masker_prompt",
-                                               "main_object"))
+    return SAM2Masker(renderer,
+                      prompt=getattr(args, "masker_prompt", "main_object"),
+                      sam2_checkpoint=sam2_checkpoint,
+                      gdino_checkpoint=gdino_checkpoint, **kw)
