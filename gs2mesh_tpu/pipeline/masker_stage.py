@@ -118,7 +118,8 @@ class SAM2Masker(Masker):
                  box_threshold: float = 0.35, text_threshold: float = 0.25,
                  sam2_checkpoint: Optional[str] = None,
                  sam2_params=None, sam2_cfg=None,
-                 gdino_checkpoint: Optional[str] = None):
+                 gdino_checkpoint: Optional[str] = None,
+                 gdino_vocab: Optional[str] = None):
         super().__init__(renderer)
         self.prompt = prompt
         self.box = box
@@ -127,6 +128,7 @@ class SAM2Masker(Masker):
         self.box_threshold = box_threshold
         self.text_threshold = text_threshold
         self._gdino_ckpt = gdino_checkpoint
+        self._gdino_vocab = gdino_vocab
 
         from gs2mesh_tpu.sam2 import (SAM2Config, SAM2VideoPredictor,
                                       convert_sam2_checkpoint)
@@ -147,28 +149,21 @@ class SAM2Masker(Masker):
                                             sam2_cfg or SAM2Config.tiny())
 
     def _gdino_box(self, img: np.ndarray) -> Optional[np.ndarray]:
-        """Text-prompt bbox via the optional external GroundingDINO
-        (masker_utils.py:133-162); None when unavailable."""
-        try:
-            from groundingdino.util.inference import load_model, predict
-            import groundingdino.datasets.transforms as T
-            import torch
-            from PIL import Image
-        except ImportError:
+        """Text-prompt bbox via the NATIVE JAX GroundingDINO
+        (gs2mesh_tpu.gdino; masker_utils.py:133-162 contract). Needs the
+        released groundingdino_swint_ogc.pth checkpoint and a local
+        bert-base-uncased tokenizer vocab; returns None when absent."""
+        if not self._gdino_ckpt or not os.path.exists(self._gdino_ckpt):
             return None
-        gd = load_model(self._gdino_ckpt + ".py", self._gdino_ckpt)
-        pil = Image.fromarray(img)
-        transform = T.Compose([T.RandomResize([800], max_size=1333),
-                               T.ToTensor(),
-                               T.Normalize([0.485, 0.456, 0.406],
-                                           [0.229, 0.224, 0.225])])
-        tens, _ = transform(pil, None)
-        boxes, _, _ = predict(model=gd, image=tens, caption=self.prompt,
-                              box_threshold=self.box_threshold,
-                              text_threshold=self.text_threshold)
-        w, h = pil.size
-        cx, cy, bw, bh = (boxes[0] * torch.tensor([w, h, w, h])).tolist()
-        return np.array([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2])
+        from gs2mesh_tpu.gdino import convert_gdino_checkpoint, predict
+        from gs2mesh_tpu.gdino.inference import best_box_xyxy
+
+        params = convert_gdino_checkpoint(self._gdino_ckpt)
+        boxes, scores, _ = predict(params, img, caption=self.prompt,
+                                   box_threshold=self.box_threshold,
+                                   text_threshold=self.text_threshold,
+                                   vocab_path=self._gdino_vocab)
+        return best_box_xyxy(boxes, scores, img.shape[:2])
 
     def segment(self) -> None:
         from PIL import Image
