@@ -1,4 +1,8 @@
 """Hardware grad check: pallas-on-TPU vs golden, small scene (triage)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,10 @@ Reads the PUBLIC reference implementation at /root/reference to verify
 numerical equivalence of our independent JAX implementation. Triage tool,
 not a test (the reference tree is not available in CI).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
 import sys
 import types
 from argparse import Namespace

@@ -1,4 +1,8 @@
 """Layer-by-layer parity triage for the DLNR port."""
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
 import sys
 from argparse import Namespace
 

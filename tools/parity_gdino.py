@@ -4,6 +4,10 @@ Builds the torch model from its classes with a random-init BERT (no hub
 access), mirrors the reference forward explicitly, and compares against
 gdino_forward stage by stage.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
 import sys
 import types
 

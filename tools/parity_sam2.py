@@ -1,4 +1,8 @@
 """Parity: JAX SAM2 vs reference torch SAM2 (random weights, CPU, tiny)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
 import sys
 import types
 
