@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import subprocess
 
 from gs2mesh_tpu.core import colmap_io
 from gs2mesh_tpu.sfm import (create_mobile_brick_colmap_files,

@@ -8,8 +8,6 @@ and depth<->point-cloud projection — re-implemented from scratch.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 ZERO = 1e-7

@@ -8,7 +8,7 @@ TPU expression (no im2col, one fused take_along_axis per level).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

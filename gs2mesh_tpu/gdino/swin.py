@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gs2mesh_tpu.sam2.layers import conv2d, layer_norm, linear, mlp, sdpa
+from gs2mesh_tpu.sam2.layers import conv2d, layer_norm, linear, mlp
 
 f32 = jnp.float32
 

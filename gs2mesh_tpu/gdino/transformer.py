@@ -10,7 +10,7 @@ two-stage language-guided query selection and iterative box refinement.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -195,7 +195,11 @@ class GaussianModel:
         rest_names = sorted((k for k in v if k.startswith("f_rest_")),
                             key=lambda s: int(s.split("_")[-1]))
         assert len(rest_names) == 3 * (K - 1), (len(rest_names), K)
-        f_rest = np.stack([v[k] for k in rest_names], axis=1).reshape(n, 3, K - 1)
+        if rest_names:
+            f_rest = np.stack([v[k] for k in rest_names],
+                              axis=1).reshape(n, 3, K - 1)
+        else:                      # sh_degree 0: no f_rest properties
+            f_rest = np.zeros((n, 3, 0), np.float32)
         scaling = np.stack([v[f"scale_{i}"] for i in range(3)], axis=1)
         rotation = np.stack([v[f"rot_{i}"] for i in range(4)], axis=1)
         opacity = v["opacity"][:, None]

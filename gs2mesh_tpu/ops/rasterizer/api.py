@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from gs2mesh_tpu.core.camera import Camera
 from gs2mesh_tpu.ops.rasterizer.binning import bin_gaussians
 from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
-from gs2mesh_tpu.ops.rasterizer.preprocess import Preprocessed, preprocess
+from gs2mesh_tpu.ops.rasterizer.preprocess import preprocess
 from gs2mesh_tpu.ops.rasterizer import tile_render
 
 

@@ -21,8 +21,6 @@ Pair feature layout (FEAT columns):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

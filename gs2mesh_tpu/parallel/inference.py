@@ -12,7 +12,6 @@ voxel arrays never move).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gs2mesh_tpu.fusion.tsdf import TSDFConfig, TSDFVolume, integrate

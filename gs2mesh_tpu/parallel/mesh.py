@@ -13,7 +13,7 @@ module is new capability, not a port.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

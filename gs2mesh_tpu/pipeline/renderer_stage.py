@@ -13,7 +13,6 @@ one jitted rasterizer call per view to NNN/left.png + right.png.
 from __future__ import annotations
 
 import copy
-import functools
 import json
 import os
 from typing import List, Optional

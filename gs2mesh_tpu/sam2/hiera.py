@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gs2mesh_tpu.sam2.layers import (conv2d, layer_norm, linear, mlp, sdpa,
-                                     _merge_heads, _split_heads,
                                      interpolate_nearest_2x, sine_pos_embed_2d,
                                      window_partition, window_unpartition)
 

@@ -12,7 +12,7 @@ object pointers, sam2_base.py:494-661).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from gs2mesh_tpu.sam2.layers import (attention, conv2d, conv_transpose2d_s2,
-                                     interpolate_bilinear, layer_norm,
-                                     layer_norm_2d, linear, mlp,
+                                     layer_norm, layer_norm_2d, mlp,
                                      random_pe_coords, random_pe_grid)
 
 f32 = jnp.float32

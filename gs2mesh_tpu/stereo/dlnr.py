@@ -15,8 +15,6 @@ reference; H and W must be multiples of 32 (use stereo.InputPadder).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ distance from center -> spatial_lr_scale), and builds jit-ready Cameras.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import List, NamedTuple, Optional, Tuple
 

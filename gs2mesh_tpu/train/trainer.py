@@ -170,6 +170,14 @@ def make_train_step(tx, camera_static: Camera, cfg: TrainConfig,
         state = accumulate_densification_stats(
             state, ss_grad, out.radii, camera.width, camera.height)
 
+        # Dead padded rows produce NaN grads (e.g. d/dq of quat-normalize at
+        # q=0 survives the multiplicative alive mask); zero them so dead
+        # rows and their Adam moments stay exactly at their fill values.
+        grads = jax.tree.map(
+            lambda g: jnp.where(
+                state.alive.reshape((n,) + (1,) * (g.ndim - 1)), g, 0.0),
+            grads)
+
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return StepOutput(params=params, opt_state=opt_state, state=state,
@@ -277,7 +285,54 @@ class Trainer:
             self.scene_extent, dcfg, k, self.model.max_sh_degree)
         self.model.params, self.model.state = params, state
         self.opt_state = opt_state
+        # Host-side recapacity: the reference grows tensors freely
+        # (cat_tensors_to_optimizer, gaussian_model.py:276-327); with static
+        # TPU shapes we instead double the padded capacity when densification
+        # ran out of dead slots or the pool is nearly full, paying one
+        # retrace per growth step.
+        n_alive = int(np.asarray(state.alive).sum())
+        if bool(stats["overflow"]) or n_alive > 0.9 * self.model.capacity:
+            self.grow_capacity(self.model.capacity * 2)
         return stats
+
+    def grow_capacity(self, new_capacity: int):
+        """Pad params/state/optimizer rows to a larger static capacity
+        (triggers recompilation of the train step on next use)."""
+        old = self.model.capacity
+        if new_capacity <= old:
+            return
+
+        def pad_rows(x, fill=0.0):
+            pad = jnp.full((new_capacity - old,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, pad], axis=0)
+
+        p = self.model.params
+        self.model.params = GaussianParams(
+            xyz=pad_rows(p.xyz),
+            features_dc=pad_rows(p.features_dc),
+            features_rest=pad_rows(p.features_rest),
+            scaling=pad_rows(p.scaling, fill=-10.0),
+            rotation=pad_rows(p.rotation).at[old:, 0].set(1.0),
+            opacity=pad_rows(p.opacity, fill=DEAD_LOGIT),
+        )
+        s = self.model.state
+        self.model.state = GaussianState(
+            alive=pad_rows(s.alive, fill=False),
+            max_radii2D=pad_rows(s.max_radii2D),
+            xyz_grad_accum=pad_rows(s.xyz_grad_accum),
+            denom=pad_rows(s.denom),
+        )
+
+        def pad_opt(leaf):
+            if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                    and leaf.shape[0] == old):
+                return pad_rows(leaf)
+            return leaf
+
+        self.opt_state = jax.tree.map(pad_opt, self.opt_state)
+        self._steps.clear()          # shapes changed -> retrace
+        print(f"[train] capacity {old} -> {new_capacity} "
+              f"(alive {self.model.num_alive()})")
 
     def reset_opacity(self):
         self.model.params = reset_opacity(self.model.params,
@@ -330,12 +385,16 @@ class Trainer:
             }, f)
 
     def restore_checkpoint(self, path_dir: str, iteration: int):
+        with open(os.path.join(path_dir, f"chkpnt{iteration}.pkl"), "rb") as f:
+            blob = pickle.load(f)
+        # Capacity may have grown (or differ) since this checkpoint was
+        # taken; the saved state/opt_state fix the padded capacity.
+        cap = blob["state"].alive.shape[0]
         ply = os.path.join(path_dir, "point_cloud",
                            f"iteration_{iteration}", "point_cloud.ply")
         self.model = GaussianModel.load_ply(ply, self.model.max_sh_degree,
-                                            capacity=self.model.capacity)
-        with open(os.path.join(path_dir, f"chkpnt{iteration}.pkl"), "rb") as f:
-            blob = pickle.load(f)
+                                            capacity=cap)
+        self._steps.clear()
         self.opt_state = jax.tree.map(jnp.asarray, blob["opt_state"])
         self.model.state = jax.tree.map(jnp.asarray, blob["state"])
         self.model.active_sh_degree = blob["active_sh_degree"]

@@ -10,7 +10,7 @@ installed, otherwise matplotlib 3-D; both consume the same trace builders.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

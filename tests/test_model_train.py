@@ -149,3 +149,102 @@ def test_training_overfits_synthetic_scene():
     psnr1 = tr.report_psnr()
     assert np.isfinite(psnr1)
     assert psnr1 > psnr0 + 0.5, (psnr0, psnr1)
+
+
+def test_trainer_capacity_growth():
+    """Host-side recapacity: when the padded pool is (nearly) full the
+    Trainer doubles capacity, preserving alive rows and optimizer moments,
+    matching the reference's unbounded densification
+    (gaussian_model.py:276-327)."""
+    scene = sphere_scene(n=120, seed=9)
+    cams = [look_at_camera((0, 0, -3.0), width=64, height=64)]
+    rcfg = RasterizerConfig(pair_capacity=1 << 12)
+
+    from gs2mesh_tpu.ops.rasterizer.golden import render_golden
+    img, _, _ = jax.jit(lambda: render_golden(
+        jnp.asarray(scene["means3d"]), jnp.asarray(scene["scales"]),
+        jnp.asarray(scene["rotations"]), jnp.asarray(scene["opacities"]),
+        jnp.asarray(scene["shs"]), cams[0], 0, cfg=rcfg))()
+
+    rng = np.random.default_rng(9)
+    cols = rng.uniform(0.2, 0.8, size=(120, 3)).astype(np.float32)
+    model = GaussianModel.from_point_cloud(
+        scene["means3d"], cols, max_sh_degree=0, capacity=128)
+    cfg = TrainConfig(iterations=40, densify_from_iter=5,
+                      densify_until_iter=40, densification_interval=10,
+                      opacity_reset_interval=10_000, sh_degree=0,
+                      densify_grad_threshold=1e-9)  # force clone/split
+    tr = Trainer(model=model, cameras=cams, images=[np.asarray(img)],
+                 cfg=cfg, rcfg=rcfg, impl="xla", max_per_tile=1024,
+                 scene_extent=2.0)
+
+    # Direct growth: shapes, alive rows, optimizer moments all padded.
+    alive0 = tr.model.num_alive()
+    xyz0 = np.asarray(tr.model.params.xyz[:128])
+    mu0 = np.asarray(jax.tree.leaves(tr.opt_state)[0])
+    tr.grow_capacity(256)
+    assert tr.model.capacity == 256
+    assert tr.model.num_alive() == alive0
+    np.testing.assert_array_equal(np.asarray(tr.model.params.xyz[:128]), xyz0)
+    grown = [leaf for leaf in jax.tree.leaves(tr.opt_state)
+             if hasattr(leaf, "ndim") and leaf.ndim >= 1
+             and leaf.shape[0] == 256]
+    assert grown, "no optimizer leaves were re-capacitated"
+    if mu0.ndim >= 1 and mu0.shape[0] == 128:
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(tr.opt_state)[0])[:128], mu0)
+
+    # Densify-triggered growth: 120/128 alive > 0.9 -> doubles on cadence.
+    tr2 = Trainer(model=GaussianModel.from_point_cloud(
+        scene["means3d"], cols, max_sh_degree=0, capacity=128),
+        cameras=cams, images=[np.asarray(img)], cfg=cfg, rcfg=rcfg,
+        impl="xla", max_per_tile=1024, scene_extent=2.0)
+    tr2.train(12)
+    assert tr2.model.capacity >= 256, tr2.model.capacity
+    assert np.isfinite(float(tr2.report_psnr()))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/restore_checkpoint round-trips params, optimizer
+    moments, and iteration (train.py:125-131 + gaussian_model.py:61-93),
+    including when the restoring trainer's capacity differs."""
+    scene = sphere_scene(n=60, seed=11)
+    cams = [look_at_camera((0, 0, -3.0), width=64, height=64)]
+    rcfg = RasterizerConfig(pair_capacity=1 << 12)
+    from gs2mesh_tpu.ops.rasterizer.golden import render_golden
+    img, _, _ = jax.jit(lambda: render_golden(
+        jnp.asarray(scene["means3d"]), jnp.asarray(scene["scales"]),
+        jnp.asarray(scene["rotations"]), jnp.asarray(scene["opacities"]),
+        jnp.asarray(scene["shs"]), cams[0], 0, cfg=rcfg))()
+    rng = np.random.default_rng(11)
+    cols = rng.uniform(0.2, 0.8, size=(60, 3)).astype(np.float32)
+
+    def make():
+        m = GaussianModel.from_point_cloud(scene["means3d"], cols,
+                                           max_sh_degree=0, capacity=64)
+        return Trainer(model=m, cameras=cams, images=[np.asarray(img)],
+                       cfg=TrainConfig(iterations=10, sh_degree=0,
+                                       densify_from_iter=10_000),
+                       rcfg=rcfg, impl="xla", max_per_tile=1024,
+                       scene_extent=2.0)
+
+    tr = make()
+    tr.train(5)
+    tr.save_checkpoint(str(tmp_path))
+
+    tr2 = make()
+    tr2.grow_capacity(128)          # restoring must adopt saved capacity
+    tr2.restore_checkpoint(str(tmp_path), 5)
+    assert tr2.iteration == 5
+    assert tr2.model.capacity == 64
+    np.testing.assert_allclose(np.asarray(tr2.model.params.xyz),
+                               np.asarray(tr.model.params.xyz), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(tr2.opt_state),
+                    jax.tree.leaves(tr.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # Training continues bit-for-bit from the restored state.
+    tr.train(2)
+    tr2.train(2)
+    np.testing.assert_allclose(np.asarray(tr2.model.params.xyz),
+                               np.asarray(tr.model.params.xyz), atol=1e-6)
