@@ -187,6 +187,21 @@ def preprocess(means3d: jnp.ndarray,
     lambda_max = mid + sq
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
 
+    # Alpha-aware rect radius: every pixel at distance r has
+    # alpha <= op * exp(-r^2 / (2*lambda_max)), so beyond
+    # r_cut = sqrt(2*lambda_max*ln(255*op)) the compositors' alpha < 1/255
+    # skip fires for certain. min(3-sigma, r_cut) emits a subset of the
+    # reference's rect whose dropped pairs all composite as exact zeros
+    # (forward.cu:336-441), shrinking num_pairs for low-opacity gaussians
+    # with bit-identical output. The REPORTED radius stays at 3-sigma so
+    # densification screen-size stats keep reference semantics.
+    op_n = opacities.reshape(N).astype(f32)
+    log_term = jnp.log(jnp.maximum(255.0 * op_n, 1e-12))
+    r_cut = jnp.ceil(jnp.sqrt(2.0 * jnp.maximum(lambda_max, 0.0)
+                              * jnp.maximum(log_term, 0.0)))
+    rect_radius = jnp.minimum(radius_f, r_cut + 1.0)
+    emit_ok = op_n * 1.02 >= 1.0 / 255.0     # else every pixel skips
+
     mean_x = ndc_to_pix(clip_x * p_w, camera.width)
     mean_y = ndc_to_pix(clip_y * p_w, camera.height)
     means2d = jnp.stack([mean_x, mean_y], axis=-1)
@@ -194,10 +209,10 @@ def preprocess(means3d: jnp.ndarray,
     # --- tile rect (getRect, auxiliary.h:46-56)
     gx, gy = cfg.grid_size(camera.width, camera.height)
     t = float(cfg.tile)
-    x0 = jnp.clip(jnp.floor((mean_x - radius_f) / t).astype(jnp.int32), 0, gx)
-    y0 = jnp.clip(jnp.floor((mean_y - radius_f) / t).astype(jnp.int32), 0, gy)
-    x1 = jnp.clip(jnp.floor((mean_x + radius_f + t - 1) / t).astype(jnp.int32), 0, gx)
-    y1 = jnp.clip(jnp.floor((mean_y + radius_f + t - 1) / t).astype(jnp.int32), 0, gy)
+    x0 = jnp.clip(jnp.floor((mean_x - rect_radius) / t).astype(jnp.int32), 0, gx)
+    y0 = jnp.clip(jnp.floor((mean_y - rect_radius) / t).astype(jnp.int32), 0, gy)
+    x1 = jnp.clip(jnp.floor((mean_x + rect_radius + t - 1) / t).astype(jnp.int32), 0, gx)
+    y1 = jnp.clip(jnp.floor((mean_y + rect_radius + t - 1) / t).astype(jnp.int32), 0, gy)
     tiles = (x1 - x0) * (y1 - y0)
     valid = valid & (tiles > 0)
 
@@ -209,8 +224,10 @@ def preprocess(means3d: jnp.ndarray,
     else:
         rgb = colors_precomp
 
+    # Reported radius keeps reference 3-sigma semantics (visibility filter
+    # and densification stats); only EMISSION respects the alpha cut.
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
-    tiles_touched = jnp.where(valid, tiles, 0).astype(jnp.int32)
+    tiles_touched = jnp.where(valid & emit_ok, tiles, 0).astype(jnp.int32)
     rect = jnp.stack([x0, y0, x1, y1], axis=-1).astype(jnp.int32)
 
     return Preprocessed(

@@ -82,14 +82,45 @@ def test_binning_pairs_match_brute_force():
     rect = np.asarray(prep.rect)
     radius = np.asarray(prep.radius)
     depths = np.asarray(prep.depths)
+    means2d = np.asarray(prep.means2d)
+    conic = np.asarray(prep.conic)
+    opac = np.asarray(prep.opacity)
+
+    def pair_alive(g, tx, ty):
+        """Mirror binning's exact alpha-cut: max alpha over the tile box."""
+        T = CFG.tile
+        ca, cb, cc = conic[g]
+        x_lo = tx * T - means2d[g, 0]
+        x_hi = x_lo + (T - 1)
+        y_lo = ty * T - means2d[g, 1]
+        y_hi = y_lo + (T - 1)
+        if x_lo <= 0 <= x_hi and y_lo <= 0 <= y_hi:
+            qmin = 0.0
+        else:
+            def q(dx, dy):
+                return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            cand = []
+            for dx in (x_lo, x_hi):
+                cand.append(q(dx, np.clip(-cb * dx / max(cc, 1e-12),
+                                          y_lo, y_hi)))
+            for dy in (y_lo, y_hi):
+                cand.append(q(np.clip(-cb * dy / max(ca, 1e-12),
+                                      x_lo, x_hi), dy))
+            qmin = min(cand)
+        return opac[g] * np.exp(-qmin) >= 0.98 / 255.0
+
+    tiles_touched = np.asarray(prep.tiles_touched)
     expected = {t: [] for t in range(gx * gy)}
+    n_emitted = 0
     for g in np.argsort(depths, kind="stable"):
-        if radius[g] <= 0:
+        if tiles_touched[g] <= 0:
             continue
         x0, y0, x1, y1 = rect[g]
         for ty in range(y0, y1):
             for tx in range(x0, x1):
-                expected[ty * gx + tx].append(g)
+                n_emitted += 1
+                if pair_alive(g, tx, ty):
+                    expected[ty * gx + tx].append(g)
 
     ids = np.asarray(b.pair_ids)
     starts = np.asarray(b.tile_starts)
@@ -99,9 +130,11 @@ def test_binning_pairs_match_brute_force():
         got = [i for i in ids[starts[t]:starts[t] + counts[t]] if i < n]
         assert got == expected[t], f"tile {t}"
     assert not bool(b.overflow)
-    assert int(b.num_pairs) == sum(len(v) for v in expected.values())
-    # Ranges are exact (no padding) and tile the sorted pair array.
-    assert int(counts.sum()) == int(b.num_pairs)
+    # num_pairs counts EMISSIONS (capacity accounting); tile ranges exclude
+    # the alpha-cut pairs.
+    assert int(b.num_pairs) == n_emitted
+    assert int(counts.sum()) == sum(len(v) for v in expected.values())
+    assert int(counts.sum()) <= int(b.num_pairs)
     # emission_of_sorted is a permutation of the slots.
     pos = np.asarray(b.emission_of_sorted)
     assert np.array_equal(np.sort(pos), np.arange(pos.shape[0]))
@@ -201,3 +234,26 @@ def test_pallas_interpret_grads_match_golden():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-3)
+
+
+def test_culled_gaussians_mid_array_match_golden():
+    """Regression: zero-tile gaussians (culled / dead) in the MIDDLE of the
+    array must not shift later gaussians' pair decoding — binning's
+    run-length decode compacts emitting gaussians, and the real id rides
+    the decoded row table."""
+    args = list(scene_args(128))
+    means = np.asarray(args[0]).copy()
+    means[30:50, 2] = -10.0          # behind the z=-3 camera -> culled
+    args[0] = jnp.asarray(means)
+    args = tuple(args)
+
+    prep = run_preprocess(args)
+    assert int((np.asarray(prep.radius) <= 0)[30:50].sum()) == 20
+    b = run_binning(prep)
+    ids = np.asarray(b.pair_ids)[:int(b.num_pairs)]
+    assert not np.any((ids >= 30) & (ids < 50))
+
+    img_g, _, _ = run_golden(args)
+    out = run_xla(args)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(img_g),
+                               atol=1e-5)
