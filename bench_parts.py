@@ -7,8 +7,7 @@ import jax.numpy as jnp
 
 from gs2mesh_tpu.ops.rasterizer import RasterizerConfig, rasterize
 from gs2mesh_tpu.ops.rasterizer import preprocess as pp
-from gs2mesh_tpu.ops.rasterizer.binning import bin_gaussians
-from gs2mesh_tpu.ops.rasterizer.pack import pack_pair_features_fast
+from gs2mesh_tpu.ops.rasterizer.emit import build_feat9, emit_sorted_pairs
 from gs2mesh_tpu.ops.rasterizer.pallas_kernels import render_tiles_pallas
 from __graft_entry__ import _scene
 
@@ -28,37 +27,38 @@ def timeit(name, f, *a, n=5):
 def main():
     n, W, H = 300_000, 960, 576
     args, cam = _scene(n, W, H)
-    cfg = RasterizerConfig(pair_capacity=1 << 22)
+    cfg = RasterizerConfig(pair_capacity=2_752_512)
     gx, gy = cfg.grid_size(W, H)
 
     prep_f = jax.jit(lambda *a: pp.preprocess(*a, cam, 0, cfg=cfg))
     prep = timeit("preprocess", prep_f, *args)
 
-    binning = timeit("binning", jax.jit(lambda p: bin_gaussians(p, W, H, cfg)),
-                     prep)
+    def emit(p):
+        return emit_sorted_pairs(build_feat9(p), p.depths, p.rect,
+                                 p.tiles_touched, W, H, cfg)
 
-    feat = timeit("pack fwd",
-                  jax.jit(lambda p, b: pack_pair_features_fast(p, b, cfg)),
-                  prep, binning)
+    feat, aux = timeit("emit fwd (sort-carry)", jax.jit(emit), prep)
 
     timeit("render fwd (pallas)",
-           jax.jit(lambda f, b: render_tiles_pallas(
-               f, b.tile_starts, b.tile_counts, gx, gy, cfg)), feat, binning)
+           jax.jit(lambda f, s, c: render_tiles_pallas(f, s, c, gx, gy, cfg)),
+           feat, aux.tile_starts, aux.tile_counts)
 
-    def render_loss(f, b):
-        c, t = render_tiles_pallas(f, b.tile_starts, b.tile_counts, gx, gy, cfg)
-        return jnp.sum(c) + jnp.sum(t)
+    def render_loss(f, s, c):
+        col, t = render_tiles_pallas(f, s, c, gx, gy, cfg)
+        return jnp.sum(col) + jnp.sum(t)
 
     timeit("render fwd+bwd (pallas)",
-           jax.jit(lambda f, b: jax.grad(render_loss)(f, b)), feat, binning)
+           jax.jit(lambda f, s, c: jax.grad(render_loss)(f, s, c)),
+           feat, aux.tile_starts, aux.tile_counts)
 
-    def pack_loss(p, b):
-        return jnp.sum(pack_pair_features_fast(p, b, cfg) ** 2)
+    def emit_loss(p):
+        f, _ = emit(p)
+        return jnp.sum(f ** 2)
 
-    timeit("pack fwd+bwd (segsum)",
-           jax.jit(lambda p, b: jax.grad(
-               lambda m2d: pack_loss(p._replace(means2d=m2d), b))(p.means2d)),
-           prep, binning)
+    timeit("emit fwd+bwd (sort+segsum)",
+           jax.jit(lambda p: jax.grad(
+               lambda m2d: emit_loss(p._replace(means2d=m2d)))(p.means2d)),
+           prep)
 
     def prep_loss(*a):
         pr = pp.preprocess(*a, cam, 0, cfg=cfg)

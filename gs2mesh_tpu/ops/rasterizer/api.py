@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from gs2mesh_tpu.core.camera import Camera
-from gs2mesh_tpu.ops.rasterizer.binning import bin_gaussians
 from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
 from gs2mesh_tpu.ops.rasterizer.preprocess import preprocess
 from gs2mesh_tpu.ops.rasterizer import tile_render
@@ -61,17 +60,17 @@ def rasterize(means3d: jnp.ndarray,
     if screenspace_offset is not None:
         prep = prep._replace(means2d=prep.means2d + screenspace_offset)
 
-    binning = bin_gaussians(prep, camera.width, camera.height, cfg)
-    # Stage boundaries: keep XLA from fusing the index-plumbing stages into
+    # Fused emission -> (tile, depth) sort -> packed pair features: the sort
+    # carries the nine feature columns (emit.py), so there is no separate
+    # pair gather stage.
+    from gs2mesh_tpu.ops.rasterizer.emit import build_feat9, emit_sorted_pairs
+    pair_feat, aux = emit_sorted_pairs(
+        build_feat9(prep), prep.depths, prep.rect, prep.tiles_touched,
+        camera.width, camera.height, cfg)
+    # Stage boundary: keep XLA from fusing the index-plumbing stage into
     # the compositing graph (compile-time pathology on CPU, no perf value).
-    ids, starts, counts = jax.lax.optimization_barrier(
-        (binning.pair_ids, binning.tile_starts, binning.tile_counts))
-    binning = binning._replace(pair_ids=ids, tile_starts=starts,
-                               tile_counts=counts)
-    del ids, starts, counts
-    from gs2mesh_tpu.ops.rasterizer.pack import pack_pair_features_fast
-    pair_feat = pack_pair_features_fast(prep, binning, cfg)
-    pair_feat = jax.lax.optimization_barrier(pair_feat)
+    pair_feat, starts, counts = jax.lax.optimization_barrier(
+        (pair_feat, aux.tile_starts, aux.tile_counts))
 
     gx, gy = cfg.grid_size(camera.width, camera.height)
     if impl == "auto":
@@ -79,11 +78,10 @@ def rasterize(means3d: jnp.ndarray,
     if impl == "pallas":
         from gs2mesh_tpu.ops.rasterizer.pallas_kernels import render_tiles_pallas
         color_t, T_t = render_tiles_pallas(
-            pair_feat, binning.tile_starts, binning.tile_counts, gx, gy, cfg)
+            pair_feat, starts, counts, gx, gy, cfg)
     elif impl == "xla":
         color_t, T_t = tile_render.render_tiles_xla(
-            pair_feat, binning.tile_starts, binning.tile_counts, gx, gy, cfg,
-            max_per_tile)
+            pair_feat, starts, counts, gx, gy, cfg, max_per_tile)
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
@@ -91,5 +89,5 @@ def rasterize(means3d: jnp.ndarray,
         color_t, T_t, gx, gy, camera.width, camera.height, cfg.tile)
     image = color + final_T[None] * bg[:, None, None]
     return RasterizeOutput(image=image, final_T=final_T, radii=prep.radius,
-                           num_pairs=binning.num_pairs,
-                           overflow=binning.overflow)
+                           num_pairs=aux.num_pairs,
+                           overflow=aux.overflow)

@@ -24,6 +24,19 @@ class RasterizerConfig:
     near: float = 0.2               # near-cull view-space z (auxiliary.h:154)
     dilation: float = 0.3           # low-pass cov2d dilation (forward.cu:110)
     fov_clamp: float = 1.3          # EWA tangent-plane clamp (forward.cu:86)
+    # Sort-payload compression (emit.py). jax.lax.sort cost scales per
+    # 4-byte payload column, so packing two bf16-rounded columns per u32
+    # halves the carry cost:
+    #   feat_carry_bf16 — conic/opacity/rgb columns ride the (tile, depth)
+    #     sort as bf16 pairs (means stay f32: sub-pixel precision). Image
+    #     error ~2^-9 relative on alpha/color — invisible in 8-bit output
+    #     and in training loss, but NOT bit-parity with the golden renderer;
+    #     parity tests pin this to False.
+    #   grad_carry_bf16 — per-pair cotangents ride the emission-order sort
+    #     as bf16 pairs (~0.4% relative noise on per-pair gradient terms,
+    #     averaged down by the per-gaussian sum).
+    feat_carry_bf16: bool = True
+    grad_carry_bf16: bool = True
 
     @property
     def pixels_per_tile(self) -> int:

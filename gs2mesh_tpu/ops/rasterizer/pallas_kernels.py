@@ -93,29 +93,38 @@ def _power_basis(px, py, P: int):
         [jnp.ones((1, P), f32), px, py, px * px, px * py, py * py], axis=0)
 
 
-def _chunk_alpha(f, px, py, ox, oy, rowmask, cfg: RasterizerConfig):
+def _chunk_alpha(f, px, py, ox, oy, thresh_row, cfg: RasterizerConfig):
     """Per-chunk alpha computation shared by fwd and bwd replay.
 
     f: (chunk, FEAT) feature rows (transposed in-kernel from the chunk
     layout); (px, py): (1, P) tile-local pixel coordinates; (ox, oy): tile
-    origin; rowmask: (chunk, 1) 1.0 for rows inside this tile's exact
-    [start, start+count) pair range (boundary chunks are shared with
-    neighboring tiles). Returns dict of (chunk, P)/(chunk, 1) intermediates.
+    origin; thresh_row: (chunk, 1) alpha acceptance threshold — alpha_min
+    for rows inside this tile's exact [start, start+count) pair range, +inf
+    for rows owned by neighboring tiles (boundary chunks are shared), so the
+    range mask and the reference's `alpha < 1/255` skip collapse into ONE
+    compare. Returns dict of (chunk, P)/(chunk, 1) intermediates.
 
     Runs on the VPU in tile-local coordinates (dx/dy are shift-invariant;
     an MXU monomial expansion was tried and is SLOWER — a K=6 contraction
     at f32-HIGHEST underutilizes the 128-wide systolic array).
+
+    The reference also skips on power > 0 (forward.cu:339-345); that branch
+    is unreachable here: conic is the inverse of the dilated 2D covariance
+    (PSD with det > 0 enforced by preprocess), so the quadratic form is
+    non-negative and power <= 0 up to float rounding (exp(+1e-7) ~ 1 is
+    absorbed by the 0.99 clamp). Dropping the test saves two full-size ops.
     """
     gxs, gys = f[:, 0:1] - ox, f[:, 1:2] - oy      # tile-local centers
     ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
     op = f[:, 5:6]
+    ca2, cc2 = -0.5 * ca, -0.5 * cc                # (chunk, 1): free
     dx = gxs - px                                  # (chunk, P)
     dy = gys - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # 9-op factored quadratic: ca2*dx^2 + dy*(cc2*dy - cb*dx)
+    power = ca2 * (dx * dx) + dy * (cc2 * dy - cb * dx)
     alpha_raw = op * jnp.exp(power)
-    alpha = jnp.minimum(alpha_raw, cfg.alpha_clamp)
-    passes = (power <= 0.0) & (alpha_raw >= cfg.alpha_min)
-    alpha_eff = jnp.where(passes, alpha, 0.0) * rowmask
+    alpha_eff = jnp.where(alpha_raw >= thresh_row,
+                          jnp.minimum(alpha_raw, cfg.alpha_clamp), 0.0)
     return dict(gxs=gxs, gys=gys, ca=ca, cb=cb, cc=cc, op=op,
                 alpha_raw=alpha_raw, alpha_eff=alpha_eff, rgb=f[:, 6:9])
 
@@ -204,8 +213,9 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
         for j in range(SPAN):
             i = si * SPAN + j
             rowid = (c0 + i) * chunk + row_iota
-            rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
-            v = _chunk_alpha(bufs[slot, j].T, px, py, ox, oy, rowmask, cfg)
+            thresh = jnp.where((rowid >= lo) & (rowid < hi),
+                               cfg.alpha_min, jnp.inf)
+            v = _chunk_alpha(bufs[slot, j].T, px, py, ox, oy, thresh, cfg)
             c = _composite_core(v, T_pix, done, cfg, chunk)
             acc = acc + jax.lax.dot_general(
                 v["rgb"], c["w"], (((0,), (0,)), ((), ())),
@@ -293,8 +303,9 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     def chunk_grads(i, T_pix, done, U_run, feat):
         """Per-chunk gradient math; feat: (FEAT, chunk)."""
         rowid = (c0 + i) * chunk + row_iota
-        rowmask = jnp.where((rowid >= lo) & (rowid < hi), 1.0, 0.0)
-        v = _chunk_alpha(feat.T, px, py, ox, oy, rowmask, cfg)
+        thresh = jnp.where((rowid >= lo) & (rowid < hi),
+                           cfg.alpha_min, jnp.inf)
+        v = _chunk_alpha(feat.T, px, py, ox, oy, thresh, cfg)
         alpha_eff = v["alpha_eff"]
         alpha_raw, op = v["alpha_raw"], v["op"]
         c = _composite_core(v, T_pix, done, cfg, chunk)

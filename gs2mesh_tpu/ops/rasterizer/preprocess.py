@@ -187,32 +187,38 @@ def preprocess(means3d: jnp.ndarray,
     lambda_max = mid + sq
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
 
-    # Alpha-aware rect radius: every pixel at distance r has
-    # alpha <= op * exp(-r^2 / (2*lambda_max)), so beyond
-    # r_cut = sqrt(2*lambda_max*ln(255*op)) the compositors' alpha < 1/255
-    # skip fires for certain. min(3-sigma, r_cut) emits a subset of the
-    # reference's rect whose dropped pairs all composite as exact zeros
-    # (forward.cu:336-441), shrinking num_pairs for low-opacity gaussians
-    # with bit-identical output. The REPORTED radius stays at 3-sigma so
+    # Alpha-aware PER-AXIS rect extents. A pixel at offset d from the mean
+    # composites iff alpha = op * exp(-q(d)) >= 1/255, i.e. q(d) <= L with
+    # L = ln(255 * op). The live region {q <= L} is an ellipse whose tight
+    # axis-aligned bounding box has half-extents
+    #   dx_max = sqrt(2 L cov_a),  dy_max = sqrt(2 L cov_c)
+    # (extremize dx on 0.5*conic quadratic = L; conic = cov^{-1} collapses
+    # the expression to the raw cov2d diagonal). min(3-sigma, extent) emits
+    # a subset of the reference's square 3-sigma rect (forward.cu:227-232)
+    # whose dropped pairs all composite as exact zeros (the alpha < 1/255
+    # skip, forward.cu:336-441) — for anisotropic splats the box shrinks by
+    # the axis ratio, directly cutting (tile, gaussian) pair count with
+    # bit-identical output. The REPORTED radius stays at 3-sigma so
     # densification screen-size stats keep reference semantics.
     op_n = opacities.reshape(N).astype(f32)
-    log_term = jnp.log(jnp.maximum(255.0 * op_n, 1e-12))
-    r_cut = jnp.ceil(jnp.sqrt(2.0 * jnp.maximum(lambda_max, 0.0)
-                              * jnp.maximum(log_term, 0.0)))
-    rect_radius = jnp.minimum(radius_f, r_cut + 1.0)
+    log_term = jnp.maximum(jnp.log(jnp.maximum(255.0 * op_n, 1e-12)), 0.0)
+    rx_cut = jnp.ceil(jnp.sqrt(2.0 * jnp.maximum(cov_a, 0.0) * log_term))
+    ry_cut = jnp.ceil(jnp.sqrt(2.0 * jnp.maximum(cov_c, 0.0) * log_term))
+    rect_rx = jnp.minimum(radius_f, rx_cut + 1.0)
+    rect_ry = jnp.minimum(radius_f, ry_cut + 1.0)
     emit_ok = op_n * 1.02 >= 1.0 / 255.0     # else every pixel skips
 
     mean_x = ndc_to_pix(clip_x * p_w, camera.width)
     mean_y = ndc_to_pix(clip_y * p_w, camera.height)
     means2d = jnp.stack([mean_x, mean_y], axis=-1)
 
-    # --- tile rect (getRect, auxiliary.h:46-56)
+    # --- tile rect (getRect, auxiliary.h:46-56), per-axis extents
     gx, gy = cfg.grid_size(camera.width, camera.height)
     t = float(cfg.tile)
-    x0 = jnp.clip(jnp.floor((mean_x - rect_radius) / t).astype(jnp.int32), 0, gx)
-    y0 = jnp.clip(jnp.floor((mean_y - rect_radius) / t).astype(jnp.int32), 0, gy)
-    x1 = jnp.clip(jnp.floor((mean_x + rect_radius + t - 1) / t).astype(jnp.int32), 0, gx)
-    y1 = jnp.clip(jnp.floor((mean_y + rect_radius + t - 1) / t).astype(jnp.int32), 0, gy)
+    x0 = jnp.clip(jnp.floor((mean_x - rect_rx) / t).astype(jnp.int32), 0, gx)
+    y0 = jnp.clip(jnp.floor((mean_y - rect_ry) / t).astype(jnp.int32), 0, gy)
+    x1 = jnp.clip(jnp.floor((mean_x + rect_rx + t - 1) / t).astype(jnp.int32), 0, gx)
+    y1 = jnp.clip(jnp.floor((mean_y + rect_ry + t - 1) / t).astype(jnp.int32), 0, gy)
     tiles = (x1 - x0) * (y1 - y0)
     valid = valid & (tiles > 0)
 

@@ -32,7 +32,6 @@ from gs2mesh_tpu.core.camera import Camera
 from gs2mesh_tpu.models.gaussians import (GaussianModel, GaussianParams,
                                           GaussianState)
 from gs2mesh_tpu.ops.rasterizer import RasterizerConfig
-from gs2mesh_tpu.ops.rasterizer.binning import bin_gaussians
 from gs2mesh_tpu.ops.rasterizer.preprocess import Preprocessed, preprocess
 from gs2mesh_tpu.ops.rasterizer import tile_render
 from gs2mesh_tpu.ops.ssim import gs_loss
@@ -68,14 +67,12 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
             means2d=prep_local.means2d + screenspace_offset)
 
     prep = _gather_prep(prep_local)
-    binning = bin_gaussians(prep, camera.width, camera.height, rcfg)
-    ids, starts, counts = jax.lax.optimization_barrier(
-        (binning.pair_ids, binning.tile_starts, binning.tile_counts))
-    binning = binning._replace(pair_ids=ids, tile_starts=starts,
-                               tile_counts=counts)
-    from gs2mesh_tpu.ops.rasterizer.pack import pack_pair_features_fast
-    pair_feat = pack_pair_features_fast(prep, binning, rcfg)
-    pair_feat = jax.lax.optimization_barrier(pair_feat)
+    from gs2mesh_tpu.ops.rasterizer.emit import build_feat9, emit_sorted_pairs
+    pair_feat, aux = emit_sorted_pairs(
+        build_feat9(prep), prep.depths, prep.rect, prep.tiles_touched,
+        camera.width, camera.height, rcfg)
+    pair_feat, starts, counts = jax.lax.optimization_barrier(
+        (pair_feat, aux.tile_starts, aux.tile_counts))
     gx, gy = rcfg.grid_size(camera.width, camera.height)
     if impl == "pallas":
         from gs2mesh_tpu.ops.rasterizer.pallas_kernels import render_tiles_pallas

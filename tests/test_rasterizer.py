@@ -12,7 +12,12 @@ from gs2mesh_tpu.ops.rasterizer.preprocess import preprocess
 
 from tests.scenes import look_at_camera, sphere_scene
 
-CFG = RasterizerConfig(pair_capacity=1 << 14)
+# Bit-parity configuration: payload carries pinned to f32 so XLA/pallas
+# outputs match the golden renderer to float-noise tolerances. The bf16
+# payload-carry default is exercised separately (test_bf16_carry_close).
+CFG = RasterizerConfig(pair_capacity=1 << 14, feat_carry_bf16=False,
+                       grad_carry_bf16=False)
+CFG_BF16 = RasterizerConfig(pair_capacity=1 << 14)
 CAM = look_at_camera((0.0, 0.0, -3.0), width=96, height=64)
 BG = jnp.array([0.1, 0.2, 0.3], jnp.float32)
 
@@ -234,6 +239,36 @@ def test_pallas_interpret_grads_match_golden():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-3)
+
+
+def test_bf16_carry_close_to_golden():
+    """The production default carries conic/opacity/rgb through the sort as
+    bf16 pairs (config.py feat_carry_bf16): image must stay within bf16
+    rounding (~2^-9 relative) of the exact renderer."""
+    args = scene_args(256)
+    golden_img, _, _ = run_golden(args)
+
+    @jax.jit
+    def run_bf16(args):
+        return rasterize(*args, CAM, 0, bg=BG, cfg=CFG_BF16, impl="xla",
+                         max_per_tile=2048)
+
+    out = run_bf16(args)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(golden_img),
+                               atol=1.5e-2, rtol=1e-2)
+    # And gradients flow with bounded relative noise.
+    @jax.jit
+    def g_bf16(args):
+        def loss(*a):
+            out = rasterize(*a, CAM, 0, bg=BG, cfg=CFG_BF16, impl="xla",
+                            max_per_tile=2048)
+            return jnp.mean(out.image ** 2)
+        return jax.grad(loss, argnums=(0,))(*args)
+
+    g = np.asarray(g_bf16(args)[0])
+    ref = np.asarray(grads_golden(args)[0])
+    denom = np.abs(ref).max()
+    assert np.abs(g - ref).max() <= 0.05 * denom + 1e-5
 
 
 def test_culled_gaussians_mid_array_match_golden():

@@ -11,7 +11,8 @@ from gs2mesh_tpu.ops.rasterizer import RasterizerConfig, rasterize
 from gs2mesh_tpu.ops.rasterizer.golden import render_golden
 from tests.scenes import look_at_camera, sphere_scene
 
-CFG = RasterizerConfig(pair_capacity=1 << 14)
+CFG = RasterizerConfig(pair_capacity=1 << 14, feat_carry_bf16=False,
+                       grad_carry_bf16=False)
 CAM = look_at_camera((0.0, 0.0, -3.0), width=96, height=64)
 BG = jnp.array([0.1, 0.2, 0.3], jnp.float32)
 
