@@ -92,25 +92,16 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
     cum = jnp.cumsum(tiles)
     num_pairs = cum[-1]
     offsets = cum - tiles                                  # (N,)
-
-    # Slot -> RUN index via scatter + cumsum. Runs are the emitting
-    # (tiles > 0) gaussians in index order; the run index is the COMPACTED
-    # gaussian index (zero-tile gaussians occupy no slot).
     has = (tiles > 0) & (offsets < K)
-    starts_scatter = jnp.zeros((K,), i32).at[
-        jnp.where(has, offsets, K)
-    ].add(1, mode="drop")
-    run_of_slot = jnp.cumsum(starts_scatter) - 1           # (K,)
-    slot_valid = (jnp.arange(K, dtype=i32) < jnp.minimum(num_pairs, K)) \
-        & (run_of_slot >= 0)
-    r = jnp.clip(run_of_slot, 0, N - 1)
+    slot_valid = jnp.arange(K, dtype=i32) < jnp.minimum(num_pairs, K)
 
-    # Compacted per-run row table indexed by run id: [real_id, offset,
-    # x0, y0, rect_w, depth, mx, my, ca, cb, cc, op, r, g, b, 0].
-    # real_id/offset stay < 2^24 so their f32 round-trip through the
-    # one-hot matmul is exact; raw f32 values pass through exactly at
-    # HIGHEST precision.
+    # Compacted per-run row table indexed by run id (run = emitting gaussian
+    # in index order): [real_id, offset, x0, y0, rect_w, depth, mx, my, ca,
+    # cb, cc, op, r, g, b, 0]. real_id/offset stay < 2^24 so their f32
+    # round-trip through the one-hot matmul is exact; raw f32 values pass
+    # through exactly at HIGHEST precision.
     assert K < (1 << 24), "pair_capacity must fit f32-exact integers"
+    OSENT = f32(1 << 28)           # offset sentinel for non-run table rows
     gtable = jnp.concatenate([
         jnp.stack([
             jnp.arange(N, dtype=f32),                      # real id
@@ -124,35 +115,62 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
         jnp.zeros((N, 1), f32),
     ], axis=1)                                             # (N, 16)
     # Compaction: run id -> real id via one 1-D scatter, then ONE row gather
-    # (1-D column gathers are ~20x slower than row gathers on TPU).
+    # (1-D column gathers are ~20x slower than row gathers on TPU). Rows
+    # beyond the live run count select the sentinel row (offset = OSENT) so
+    # the slot->run step compare below never counts them.
+    sent_row = jnp.zeros((1, 16), f32).at[0, 1].set(OSENT)
+    gtable_ext = jnp.concatenate([gtable, sent_row], axis=0)
     run_pos = jnp.cumsum(has.astype(i32)) - 1              # (N,)
-    ridx = jnp.zeros((N,), i32).at[
+    ridx = jnp.full((N,), N, i32).at[
         jnp.where(has, run_pos, N)
     ].set(jnp.arange(N, dtype=i32), mode="drop")
-    ctable = gtable[ridx]                                  # one (N, 16) row gather
+    ctable = gtable_ext[ridx]                              # one (N, 16) row gather
     nb128 = -(-N // 128) + 1                               # +1 spare block
-    ctable = jnp.pad(ctable, ((0, nb128 * 128 - N), (0, 0)))
+    ctable = jnp.concatenate([
+        ctable,
+        jnp.tile(sent_row, (nb128 * 128 - N, 1))], axis=0)
 
-    # One-hot MXU run-length decode: run ids ascend by at most 1 per slot,
-    # so a 128-slot chunk spans <= 128 consecutive runs; two aligned
-    # 128-row blocks cover it.
+    # One-hot MXU run-length decode. Run offsets ascend strictly, so the run
+    # of slot k is  r(k) = (# runs with offset <= k) - 1,  and within a
+    # 128-slot chunk r spans <= 128 consecutive runs: two aligned 128-row
+    # blocks of the compacted table cover the chunk. The within-window run
+    # index comes from a STEP compare against the gathered offset column
+    # (loc = row-sum of [offset_j <= slot] - 1) — this replaces a K-sized
+    # scatter + K-sized cumsum (~14 ms at K=2.75M on v5e: XLA lowers both
+    # poorly) with one fused compare+reduce over the already-gathered blocks.
     if K >= 128 and K % 128 == 0:
         C = K // 128
-        r2 = r.reshape(C, 128)
-        blk = jnp.clip(r2[:, 0] // 128, 0, nb128 - 2)      # (C,)
+        # First run of each chunk, from a small C-sized searchsorted over
+        # the compacted offsets (clip into the real table range).
+        # Window = three aligned 64-row blocks (192 rows): covers at least
+        # 192 - 63 = 129 >= 128 runs past any 64-aligned start, and a chunk
+        # spans <= 128 runs — minimal coverage at 75% of the 256-row
+        # operand footprint (the (C, 128, W) one-hot is the decode's
+        # dominant memory cost).
+        W = 192
+        nb64 = nb128 * 2
+        eo = ctable[:, 1]                                  # (nb128*128,) f32
+        chunk0 = (jnp.arange(C, dtype=i32) * 128).astype(f32)
+        r_start = jnp.searchsorted(eo, chunk0, side="right").astype(i32) - 1
+        blk = jnp.clip(jnp.maximum(r_start, 0) // 64, 0, nb64 - 3)  # (C,)
         blocks = jax.lax.gather(
-            ctable.reshape(nb128, 128, 16), blk[:, None],
+            ctable.reshape(nb64, 64, 16), blk[:, None],
             jax.lax.GatherDimensionNumbers(
                 offset_dims=(1, 2, 3), collapsed_slice_dims=(),
                 start_index_map=(0,)),
-            slice_sizes=(2, 128, 16)).reshape(C, 256, 16)
-        loc = r2 - blk[:, None] * 128                      # in [0, 256)
+            slice_sizes=(3, 64, 16)).reshape(C, W, 16)
+        eo_win = blocks[:, :, 1]                           # (C, W)
+        slot_f = (jnp.arange(K, dtype=i32).reshape(C, 128)).astype(f32)
+        step = eo_win[:, None, :] <= slot_f[:, :, None]    # (C, 128, W)
+        loc = jnp.sum(step, axis=2, dtype=i32) - 1         # (C, 128)
         onehot = (loc[:, :, None]
-                  == jnp.arange(256, dtype=i32)[None, None, :])
+                  == jnp.arange(W, dtype=i32)[None, None, :])
         dec = jnp.einsum("cis,csf->cif", onehot.astype(f32), blocks,
                          precision=HI).reshape(K, 16)
     else:                          # tiny capacities: plain row gather
-        dec = ctable[r]
+        r = jnp.searchsorted(ctable[:, 1], jnp.arange(K, dtype=i32).astype(f32),
+                             side="right").astype(i32) - 1
+        dec = ctable[jnp.clip(r, 0, ctable.shape[0] - 1)]
 
     g = dec[:, 0].astype(i32)                              # real gaussian id
     local = jnp.arange(K, dtype=i32) - dec[:, 1].astype(i32)

@@ -42,15 +42,24 @@ def composite_pixels(prep: Preprocessed, order: jnp.ndarray,
     dx = xy[:, 0][:, None, None] - px[None]              # (N, H, W)
     dy = xy[:, 1][:, None, None] - py[None]
     a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
-    power = (-0.5 * (a[:, None, None] * dx * dx + c[:, None, None] * dy * dy)
-             - b[:, None, None] * dx * dy)
+    # Factored quadratic, same float-op order as the pallas/xla compositors
+    # (pallas_kernels._chunk_alpha) so the alpha >= 1/255 knife-edge decides
+    # identically across all three implementations.
+    a2 = (-0.5 * a)[:, None, None]
+    c2 = (-0.5 * c)[:, None, None]
+    power = a2 * (dx * dx) + dy * (c2 * dy - b[:, None, None] * dx)
     alpha = jnp.minimum(cfg.alpha_clamp, opac[:, None, None] * jnp.exp(power))
 
     in_rect = ((tile_x[None] >= rect[:, 0, None, None])
                & (tile_x[None] < rect[:, 2, None, None])
                & (tile_y[None] >= rect[:, 1, None, None])
                & (tile_y[None] < rect[:, 3, None, None]))
-    passes = (power <= 0.0) & (alpha >= cfg.alpha_min) & in_rect & alive[:, None, None]
+    # The reference also skips on power > 0 (forward.cu:339-345). That branch
+    # guards indefinite precomputed covariances; here conic always comes from
+    # the dilated PSD cov2d (det > 0 culled in preprocess), so power <= 0 up
+    # to float rounding and the test is dropped in ALL three compositors
+    # (golden / xla / pallas) so the alpha knife-edge decides identically.
+    passes = (alpha >= cfg.alpha_min) & in_rect & alive[:, None, None]
     alpha_eff = jnp.where(passes, alpha, 0.0)
 
     # Exclusive transmittance before each Gaussian (in order).

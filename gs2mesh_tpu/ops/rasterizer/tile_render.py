@@ -75,10 +75,12 @@ def _composite_tile(feat, valid, px, py, cfg: RasterizerConfig):
 
     dx = xy_x - px[None, :]
     dy = xy_y - py[None, :]
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # Same float-op order as pallas_kernels._chunk_alpha / golden (the
+    # alpha >= 1/255 knife-edge must decide identically everywhere).
+    power = (-0.5 * ca) * (dx * dx) + dy * ((-0.5 * cc) * dy - cb * dx)
     alpha_raw = op * jnp.exp(power)
     alpha = jnp.minimum(cfg.alpha_clamp, alpha_raw)
-    passes = (power <= 0.0) & (alpha >= cfg.alpha_min) & valid[:, None]
+    passes = (alpha_raw >= cfg.alpha_min) & valid[:, None]
     alpha_eff = jnp.where(passes, alpha, 0.0)
 
     log1m = jnp.log1p(-alpha_eff)

@@ -8,9 +8,10 @@ argument_utils.py:36), so maskers are pluggable:
   * `CopyMasker` — dataset-provided masks (the DTU/MobileBrick path of
     run_single.py:119-147).
   * `SAM2Masker` — GroundingDINO text-prompt box + SAM2 video propagation
-    (masker_utils.py:42-359). SAM2/GroundingDINO are torch models loaded
-    from external checkpoints; this wrapper is gated on their availability
-    and otherwise raises with instructions.
+    (masker_utils.py:42-359). Both are NATIVE JAX models in this framework
+    (gs2mesh_tpu.sam2 / gs2mesh_tpu.gdino); the wrapper is gated only on
+    converted checkpoint availability and otherwise raises with
+    instructions.
   * morphology helpers (close + erode) shared with the TSDF stage.
 """
 

@@ -337,16 +337,8 @@ class Trainer:
     def reset_opacity(self):
         self.model.params = reset_opacity(self.model.params,
                                           self.model.state.alive)
-        # Reset Adam state for opacity rows (replace_tensor_to_optimizer).
-        dirty = jnp.ones_like(self.model.state.alive)
-
-        def fix(leaf):
-            if (hasattr(leaf, "shape") and leaf is not None
-                    and getattr(leaf, "ndim", 0) >= 1):
-                return leaf
-            return leaf
-
-        # Surgical: zero only the opacity-group Adam moments.
+        # Reset Adam state for opacity rows (the reference's
+        # replace_tensor_to_optimizer): zero only the opacity-group moments.
         self.opt_state = _zero_opacity_moments(self.opt_state,
                                                self.model.capacity)
 

@@ -71,3 +71,46 @@ def test_sharded_step_matches_single_chip():
     # Densification accumulators populated and replicated-consistent.
     acc = np.asarray(out.state.xyz_grad_accum)
     assert np.isfinite(acc).all() and acc.sum() > 0
+
+    assert not bool(out.overflow)
+
+
+def test_tile_sharding_divides_compositing_work():
+    """Each device emits/composites only its tile slice: per-device pair
+    counts must sum to ~the single-chip total (boundary splats duplicate
+    into at most their row-overlap count) and no device may hold more than
+    a balanced share + boundary slack."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    scene = sphere_scene(n=400, seed=3)
+    cam = look_at_camera((0, 0, -3.0), width=128, height=128)  # gy = 4 rows
+    rcfg = RasterizerConfig(pair_capacity=1 << 13)
+    cfg = TrainConfig(sh_degree=0)
+    rng = np.random.default_rng(5)
+    pts = scene["means3d"]
+    cols = rng.uniform(0.2, 0.8, size=(len(pts), 3)).astype(np.float32)
+    model = GaussianModel.from_point_cloud(pts, cols, max_sh_degree=0,
+                                           capacity=512)
+    tx = make_optimizer(cfg, model.spatial_lr_scale)
+    opt_state = tx.init(model.params)
+
+    mesh = make_mesh(data=1, gauss=4)
+    step = make_sharded_train_step(mesh, tx, model.capacity, cam, cfg,
+                                   rcfg, 0, impl="xla", max_per_tile=2048)
+    target = jnp.zeros((1, 3, 128, 128), jnp.float32)
+    out = step(model.params, opt_state, model.state,
+               batch_cameras([cam]), target, jnp.zeros(3))
+    pairs = np.asarray(out.pairs_per_device)
+    assert pairs.shape == (4,)
+
+    # Single-chip emission count for the same scene/camera.
+    from gs2mesh_tpu.train.trainer import render_model
+    ref = render_model(model.params, model.state.alive, cam, 0, jnp.zeros(3),
+                       rcfg, "xla", max_per_tile=2048)
+    total = int(ref.num_pairs)
+    assert total > 0
+    # Row-clipped slice emissions partition the full emission set exactly
+    # (each (gaussian, tile) pair belongs to exactly one tile-row owner).
+    assert int(pairs.sum()) == total
+    # And no device composites more than a balanced share + slack.
+    assert pairs.max() <= 0.75 * total
