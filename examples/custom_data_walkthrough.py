@@ -91,12 +91,24 @@ panel = viz.view_results_panel(renderer.render_folder_name(0),
                                args.stereo_model)
 panel
 
-# %% Optional: automatic object masking (SAM2 + GroundingDINO checkpoints)
+# %% Optional: object masking (SAM2 + GroundingDINO checkpoints)
 from gs2mesh_tpu.pipeline.masker_stage import SAM2Masker
 
 if args.masker_automask:
+    # Automatic: GroundingDINO text prompt seeds the SAM2 propagation.
     masker = SAM2Masker(renderer, prompt=args.masker_prompt)
     masker.segment()
+    args.TSDF_use_mask = True
+elif False:  # flip to True for the notebook-style interactive seeding
+    # Interactive (custom_data.ipynb contract, masker_utils.py:184-267):
+    # left-click adds a positive point, right-click a negative one,
+    # click-drag draws a box, middle-click removes; the SAM2 preview mask
+    # redraws after every edit, and closing the window propagates the
+    # seeds through the whole view sequence.
+    from gs2mesh_tpu.pipeline.masker_ui import run_interactive_masker
+
+    masker = SAM2Masker(renderer, sam2_checkpoint="sam2_hiera_large.pt")
+    run_interactive_masker(renderer, masker)
     args.TSDF_use_mask = True
 
 # %% TSDF fusion + mesh extraction + cleaning

@@ -257,6 +257,33 @@ def integrate_view(vol: TSDFVolume, color: jnp.ndarray, depth: jnp.ndarray,
     return integrate(vol, color, depth, K, extrinsic, depth_trunc, cfg)
 
 
+def grow_volume(vol: TSDFVolume, cfg: TSDFConfig,
+                factor: int = 2) -> tuple[TSDFVolume, TSDFConfig]:
+    """Host-side capacity growth (the unbounded-allocation semantics of
+    Open3D's ScalableTSDFVolume, tsdf_utils.py:53, expressed as the same
+    double-and-retrace pattern the trainer uses for densify overflow).
+
+    Voxel data and key slots are copied verbatim into a larger static
+    capacity; the overflow flag resets. Callers must re-run the view whose
+    allocation overflowed against the PRE-view snapshot (dropped blocks
+    never received weights, and re-integrating an already-applied view
+    would double-count its weighted updates)."""
+    new_c = cfg.block_capacity * factor
+    pad = new_c - cfg.block_capacity
+    V = cfg.block_size ** 3
+    keys = jnp.concatenate([vol.keys, jnp.full((pad,), EMPTY_KEY, i32)])
+    grown = TSDFVolume(
+        keys=keys,
+        order=jnp.argsort(keys).astype(i32),
+        tsdf=jnp.concatenate([vol.tsdf, jnp.zeros((pad, V), f32)]),
+        weight=jnp.concatenate([vol.weight, jnp.zeros((pad, V), f32)]),
+        color=jnp.concatenate([vol.color, jnp.zeros((pad, V, 3), f32)]),
+        n_blocks=vol.n_blocks,
+        overflow=jnp.zeros((), bool),
+    )
+    return grown, cfg._replace(block_capacity=new_c)
+
+
 def to_dense(vol: TSDFVolume, cfg: TSDFConfig):
     """Densify allocated blocks into host numpy grids for mesh extraction.
 

@@ -166,6 +166,25 @@ class SAM2Masker(Masker):
                                    vocab_path=self._gdino_vocab)
         return best_box_xyxy(boxes, scores, img.shape[:2])
 
+    def preview_mask(self, image: np.ndarray, points=None, labels=None,
+                     box=None) -> np.ndarray:
+        """Single-image prompted mask for the interactive UI's live redraw
+        (masker_utils.py:269-300 preview semantics): best-IoU mask of the
+        SAM2 image predictor on the current seeds."""
+        from gs2mesh_tpu.sam2 import SAM2ImagePredictor
+
+        if getattr(self, "_img_predictor", None) is None:
+            self._img_predictor = SAM2ImagePredictor(
+                self.predictor.core.params, self.predictor.cfg)
+            self._img_predictor_image = None
+        pred = self._img_predictor
+        if self._img_predictor_image is not image:
+            pred.set_image(image)
+            self._img_predictor_image = image
+        masks, ious, _ = pred.predict(point_coords=points,
+                                      point_labels=labels, box=box)
+        return masks[int(np.argmax(ious))]
+
     def segment(self) -> None:
         from PIL import Image
 

@@ -28,9 +28,11 @@ from gs2mesh_tpu.pipeline.tsdf_stage import TSDF
 def train_gs(colmap_dir: str, model_dir: str, iterations: int,
              save_iterations, white_background: bool,
              resolution: int = -1, max_views=None,
-             capacity=None, log_every: int = 500):
+             capacity=None, log_every: int = 500,
+             pair_capacity: int = 1 << 22):
     """In-process GS training stage (replaces the train.py subprocess)."""
     from gs2mesh_tpu.models.gaussians import GaussianModel
+    from gs2mesh_tpu.ops.rasterizer import RasterizerConfig
     from gs2mesh_tpu.train.scene import (load_colmap_scene,
                                          random_point_cloud_fallback)
     from gs2mesh_tpu.train.trainer import TrainConfig, Trainer
@@ -48,6 +50,7 @@ def train_gs(colmap_dir: str, model_dir: str, iterations: int,
                       white_background=white_background)
     trainer = Trainer(model=model, cameras=scene.cameras,
                       images=scene.images, cfg=cfg,
+                      rcfg=RasterizerConfig(pair_capacity=pair_capacity),
                       scene_extent=scene.nerf_norm_radius,
                       out_dir=model_dir)
     save_set = set(save_iterations or [iterations])
@@ -107,7 +110,8 @@ def mobilebrick_mask_loader(colmap_dir: str, renderer):
 def run_single(args: PipelineArgs, base_dir: str | None = None,
                stereo_params=None, stereo_ckpt: str | None = None,
                gs_max_views=None, gs_resolution: int = -1,
-               pair_capacity: int = 1 << 22) -> str:
+               pair_capacity: int = 1 << 22,
+               stereo_iters: int | None = None) -> str:
     """Run the full pipeline for one scene; returns the cleaned-mesh path."""
     from gs2mesh_tpu.sfm import (create_downsampled_colmap_dir,
                                  extract_frames, run_colmap)
@@ -142,7 +146,8 @@ def run_single(args: PipelineArgs, base_dir: str | None = None,
     if not args.skip_GS:
         train_gs(colmap_dir, model_dir, args.GS_iterations,
                  args.GS_save_test_iterations, args.GS_white_background,
-                 resolution=gs_resolution, max_views=gs_max_views)
+                 resolution=gs_resolution, max_views=gs_max_views,
+                 pair_capacity=pair_capacity)
 
     # --- stage: renderer + stereo ---------------------------------------
     renderer = Renderer(base_dir, colmap_dir, strings["output_dir_root"],
@@ -154,6 +159,9 @@ def run_single(args: PipelineArgs, base_dir: str | None = None,
 
     stereo = Stereo(base_dir, renderer, args, params=stereo_params,
                     ckpt_path=stereo_ckpt)
+    if stereo_iters is not None:                 # test/bench knob
+        import dataclasses
+        stereo.cfg = dataclasses.replace(stereo.cfg, iters=stereo_iters)
     if not args.skip_rendering:
         stereo.run(start=0)
 

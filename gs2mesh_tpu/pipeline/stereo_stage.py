@@ -41,12 +41,17 @@ class Stereo:
         self.cfg = DLNRConfig(iters=10)
         self.input_padder = InputPadder
 
-        if params is None:
-            path = ckpt_path or os.path.join(
-                base_dir, "checkpoints", f"{self.model_name}.pth")
-            params = load_torch_checkpoint(path)
+        # Checkpoint loading is LAZY (first run() call): a skip_rendering
+        # resume re-enters the pipeline without weights available.
+        self._ckpt_path = ckpt_path
         self.params = params
         self._fwd = None
+
+    def _ensure_params(self):
+        if self.params is None:
+            path = self._ckpt_path or os.path.join(
+                self.base_dir, "checkpoints", f"{self.model_name}.pth")
+            self.params = load_torch_checkpoint(path)
 
     def _forward(self, image1, image2, flow_init):
         """jitted DLNR forward; image*: (1,3,H,W) float [0,255]."""
@@ -72,6 +77,7 @@ class Stereo:
 
     def run(self, start: int = 0, visualize: bool = False) -> None:
         """Hot loop over views (stereo_utils.py:82-147)."""
+        self._ensure_params()
         prev_flows = {"LR": None, "RL": None}
         for camera_number, left_camera in enumerate(
                 self.renderer.left_cameras):

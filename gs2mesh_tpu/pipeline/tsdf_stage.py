@@ -44,8 +44,12 @@ class TSDF:
                                 sdf_trunc=float(args.TSDF_sdf_trunc),
                                 block_capacity=block_capacity)
         vol = fusion.create_volume(cfg)
-        step = jax.jit(lambda v, c, d, K, E, t: fusion.integrate_view(
-            v, c, d, K, E, t, cfg))
+
+        def make_step(c):
+            return jax.jit(lambda v, col, d, K, E, t: fusion.integrate_view(
+                v, col, d, K, E, t, c))
+
+        step = make_step(cfg)
 
         baseline = self.renderer.baseline
         depth_trunc = baseline * args.TSDF_max_depth_baselines / \
@@ -100,16 +104,23 @@ class TSDF:
                           [0, 0, 1.0]], np.float32)
             world_to_cam = np.linalg.inv(extrinsic).astype(np.float32)
 
-            vol = step(vol,
-                       jnp.asarray(image[..., :3], jnp.float32) / 255.0,
-                       jnp.asarray(depth),
-                       jnp.asarray(K),
-                       jnp.asarray(world_to_cam),
-                       jnp.float32(depth_trunc))
+            view_args = (jnp.asarray(image[..., :3], jnp.float32) / 255.0,
+                         jnp.asarray(depth),
+                         jnp.asarray(K),
+                         jnp.asarray(world_to_cam),
+                         jnp.float32(depth_trunc))
+            # Unbounded-allocation semantics (ScalableTSDFVolume): on block
+            # overflow, roll back to the pre-view snapshot, double capacity
+            # (one retrace per growth) and redo the view.
+            vol_prev = vol
+            vol = step(vol, *view_args)
+            while bool(vol.overflow):
+                vol_prev, cfg = fusion.grow_volume(vol_prev, cfg)
+                step = make_step(cfg)
+                print(f"[tsdf] block capacity -> {cfg.block_capacity} "
+                      f"(view {camera_number} overflowed)")
+                vol = step(vol_prev, *view_args)
 
-        if bool(vol.overflow):
-            print("WARNING: TSDF block capacity exceeded; "
-                  "increase block_capacity")
         mesh = fusion.extract_triangle_mesh(vol, cfg)
         mesh = fusion.scale_mesh(mesh, float(self.args.TSDF_scale))
         self.mesh = fusion.recompute_normals(mesh) \

@@ -144,3 +144,63 @@ def test_network_gui_loopback():
     # SIBR->GS convention flip applied to the view matrix columns 1, 2.
     wv = np.asarray(calls["cam"].world_view)
     assert wv[3, 2] == -3.0
+
+
+class _Ev:
+    def __init__(self, x, y, button=1):
+        self.xdata, self.ydata, self.button = x, y, button
+        self.inaxes = None
+
+
+def test_interactive_seeder_semantics():
+    """Reference click/drag seeding semantics (masker_utils.py:184-267):
+    clicks add labeled points, drags draw the box, middle-click removes."""
+    from gs2mesh_tpu.pipeline.masker_ui import InteractiveSeeder
+
+    previews = []
+
+    def preview(img, pts, lbl, box):
+        previews.append((None if pts is None else pts.copy(),
+                         None if lbl is None else lbl.copy(),
+                         None if box is None else box.copy()))
+        return np.zeros(img.shape[:2], bool)
+
+    s = InteractiveSeeder(np.zeros((32, 48, 3), np.uint8),
+                          preview_fn=preview)
+
+    def click(x, y, button=1):
+        s.on_click(_Ev(x, y, button))
+        s.on_release(_Ev(x, y, button))
+
+    def drag(x0, y0, x1, y1):
+        s.on_click(_Ev(x0, y0, 1))
+        s.on_release(_Ev(x1, y1, 1))
+
+    click(10, 10)                  # positive point
+    click(20, 5, button=3)         # negative point
+    pts, lbl, box = s.seeds()
+    assert pts.shape == (2, 2) and lbl.tolist() == [1, 0] and box is None
+
+    drag(5, 5, 40, 28)             # box
+    _, _, box = s.seeds()
+    assert np.allclose(box, [5, 5, 40, 28])
+
+    drag(6, 6, 30, 20)             # re-drag replaces the box
+    _, _, box = s.seeds()
+    assert np.allclose(box, [6, 6, 30, 20])
+
+    click(29, 12, button=2)        # middle near box edge -> removes box
+    pts, lbl, box = s.seeds()
+    assert box is None and pts.shape == (2, 2)
+
+    click(19, 6, button=2)         # middle far from any box -> nearest point
+    pts, lbl, _ = s.seeds()
+    assert pts.shape == (1, 2) and lbl.tolist() == [1]
+
+    # A sub-threshold drag is a click (drag_threshold), per the reference.
+    s.on_click(_Ev(12, 12, 1))
+    s.on_release(_Ev(13, 13, 1))
+    pts, _, box = s.seeds()
+    assert pts.shape == (2, 2) and box is None
+
+    assert len(previews) > 0       # preview redraw ran on every edit

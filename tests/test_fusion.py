@@ -176,3 +176,56 @@ def test_mesh_roundtrip_ply(tmp_path, fused_sphere):
     assert d.positions.shape == mesh.vertices.shape
     assert d.faces is not None and d.faces.shape == mesh.faces.shape
     np.testing.assert_allclose(d.positions, mesh.vertices, rtol=1e-6)
+
+
+def test_grow_volume_no_silent_truncation():
+    """Start with a tiny block capacity, fuse with grow-on-overflow (the
+    tsdf_stage loop), and check the result matches a fusion that had ample
+    capacity from the start — bit-for-bit on the allocated voxel grid."""
+    from gs2mesh_tpu.fusion.tsdf import grow_volume
+
+    W = H = 64
+    K = make_K(W, H, f=60.0)
+    n_views = 6
+
+    def fuse(cfg):
+        vol = create_volume(cfg)
+        for i in range(n_views):
+            th = 2 * np.pi * i / n_views
+            eye = np.array([2.6 * np.cos(th), 2.6 * np.sin(th), 0.4])
+            E = look_at_extrinsic(eye)
+            depth = sphere_depth(K, E, W, H)
+            color = np.full((H, W, 3), 0.25, np.float32)
+            view = (color, depth, K, E)
+            vol_prev = vol
+            vol = integrate_view(vol, *view, depth_trunc=4.0, cfg=cfg)
+            while bool(vol.overflow):
+                vol_prev, cfg = grow_volume(vol_prev, cfg)
+                vol = integrate_view(vol_prev, *view, depth_trunc=4.0,
+                                     cfg=cfg)
+        return vol, cfg
+
+    base = TSDFConfig(voxel_size=0.04, sdf_trunc=0.1, block_size=8,
+                      alloc_stride=2)
+    small, cfg_small = fuse(base._replace(block_capacity=64))
+    big, cfg_big = fuse(base._replace(block_capacity=2048))
+
+    assert cfg_small.block_capacity > 64          # it actually grew
+    assert not bool(small.overflow)
+    assert int(small.n_blocks) == int(big.n_blocks)
+
+    # Same voxel content independent of the growth path: compare per-key.
+    from gs2mesh_tpu.fusion.tsdf import EMPTY_KEY
+
+    def by_key(vol):
+        keys = np.asarray(vol.keys)
+        live = keys != EMPTY_KEY
+        idx = np.argsort(keys[live])
+        return (keys[live][idx], np.asarray(vol.tsdf)[live][idx],
+                np.asarray(vol.weight)[live][idx])
+
+    ks, ts, ws = by_key(small)
+    kb, tb, wb = by_key(big)
+    np.testing.assert_array_equal(ks, kb)
+    np.testing.assert_allclose(ts, tb, atol=1e-6)
+    np.testing.assert_allclose(ws, wb, atol=1e-6)
