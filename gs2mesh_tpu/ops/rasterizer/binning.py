@@ -32,15 +32,10 @@ class Binning(NamedTuple):
     tile_counts: jnp.ndarray   # (T,) int32 exact per-tile pair count
     num_pairs: jnp.ndarray     # () int32 true pair count
     overflow: jnp.ndarray      # () bool — capacity exceeded (truncated)
-    # Emission-order auxiliaries for the scatter-free gradient reduction
-    # (slots in emission order are grouped by gaussian):
     emission_of_sorted: jnp.ndarray    # (K,) int32 emission slot of each
                                        #   sorted slot (a permutation)
     emission_ids: jnp.ndarray          # (K,) int32 gaussian id per emission
                                        #   slot (-1 for invalid slots)
-    block_chunk_start: jnp.ndarray  # (NB,) int32 first emission chunk per
-                                    #   128-gaussian block
-    block_chunk_count: jnp.ndarray  # (NB,) int32 emission chunks per block
 
 
 def bin_gaussians(prep: Preprocessed, width: int, height: int,
@@ -64,6 +59,4 @@ def bin_gaussians(prep: Preprocessed, width: int, height: int,
                    tile_counts=tile_counts,
                    num_pairs=em.num_pairs, overflow=em.overflow,
                    emission_of_sorted=e_s,
-                   emission_ids=em.emission_ids,
-                   block_chunk_start=em.block_chunk_start,
-                   block_chunk_count=em.block_chunk_count)
+                   emission_ids=em.emission_ids)

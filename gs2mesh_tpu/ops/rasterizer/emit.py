@@ -5,21 +5,30 @@ TPU-native redesign of the CUDA reference's duplicateWithKeys + radix sort +
 identifyTileRanges + per-pair feature fetch (rasterizer_impl.cu:275-318 plus
 the renderCUDA collectives that re-read per-Gaussian data, forward.cu:281-309):
 
-  * Per-pair features are decoded in EMISSION order with the one-hot MXU
-    run-length decode (emission slots touch at most 128 consecutive compacted
-    gaussian rows per 128-slot chunk), directly from a single (N, 16) table
-    that now carries the full feature row (means2d, conic, opacity, rgb) —
-    merging what used to be two separate K-row lookups (binning's gtable
-    decode and pack's feature gather).
-  * The (tile | depth-msbs) single-u32-key sort CARRIES the nine feature
-    columns as sort payload instead of gathering them afterwards: payload
-    movement through jax.lax.sort costs ~1.8 ms per column at K=4M on v5e
-    while a K-row random gather costs ~33 ms — the sort IS the gather.
-  * The backward permutes per-pair cotangents to emission order with the
-    same payload-sort trick (key = the carried emission index) and reduces
-    per-Gaussian with the one-hot MXU segment-sum kernel — deterministic,
+  * Per-pair features are decoded in EMISSION order with a one-hot MXU
+    run-length decode: emission slots touch at most 128 consecutive compacted
+    gaussian rows per 128-slot chunk, so an aligned 256-row window of the
+    per-run table covers a chunk, and a (window ≤ slot) step compare turns
+    into an exact one-hot selector multiplied on the MXU. On TPU the whole
+    decode — window DMA, step compare, one-hot matmul, alpha-cut cull, key
+    build, payload packing — runs inside ONE Pallas kernel so the (K, 256)
+    one-hot intermediates never touch HBM.
+  * The (tile | depth-msbs) single-u32-key sort CARRIES the feature columns
+    as sort payload instead of gathering them afterwards: payload movement
+    through jax.lax.sort costs ~1.9 ms per column at K=2.75M on v5e while a
+    K-row random gather costs ~33 ms — the sort IS the gather. Means are
+    carried TILE-LOCAL (shift-invariant for all downstream math) which frees
+    their low mantissa bits: the per-pair gaussian id rides inside them
+    (11 + 11 bits), saving a whole payload column. Conic/opacity/rgb ride as
+    bf16 pairs. Net: one u32 key + six payload columns.
+  * The backward reduces per-pair cotangents per gaussian by sorting them
+    ON THE GAUSSIAN ID (recovered from the mean-mantissa bits) and running
+    the one-hot MXU segment-sum over the id-sorted stream — deterministic,
     scatter-free, atomics-free (the reference uses atomicAdd,
-    backward.cu:523-554).
+    backward.cu:523-554). Chunks whose cotangents are exactly zero (the
+    compositor's early-termination zero-fill, typically ~75% of capacity on
+    saturated scenes) are COMPACTED away before the sort, so the backward
+    sorts only the chunks that carry signal.
 
 Everything index-shaped runs under stop_gradient; gradients flow only
 through the nine feature columns via the hand-written VJP.
@@ -40,9 +49,15 @@ from gs2mesh_tpu.ops.rasterizer.tile_render import FEAT
 
 f32 = jnp.float32
 i32 = jnp.int32
+u32 = jnp.uint32
 HI = jax.lax.Precision.HIGHEST
 
-NCOLS = 9  # live feature columns: x, y, conic a/b/c, opacity, r, g, b
+NCOLS = 9   # live feature columns: x, y, conic a/b/c, opacity, r, g, b
+IDMASK = 0x7FF          # 11 low mantissa bits per mean carry gaussian-id half
+IDKEEP = 0xFFFFF800     # complement of IDMASK (u32-safe literal)
+OSENT = float(1 << 28)  # offset sentinel for non-run table rows
+DEC_S = 16              # chunks decoded per Pallas grid step
+DEC_W = 256             # decode window rows (2 aligned 128-row blocks)
 
 
 class EmitAux(NamedTuple):
@@ -51,10 +66,7 @@ class EmitAux(NamedTuple):
     tile_counts: jnp.ndarray        # (T,) i32 per-tile pair count
     num_pairs: jnp.ndarray          # () i32 true emission count
     overflow: jnp.ndarray           # () bool — capacity exceeded
-    emission_of_sorted: jnp.ndarray  # (K,) i32 emission slot per sorted slot
-    emission_ids: jnp.ndarray       # (K,) i32 gaussian id per EMISSION slot
-    block_chunk_start: jnp.ndarray  # (NB,) i32 first emission chunk per block
-    block_chunk_count: jnp.ndarray  # (NB,) i32 emission chunks per block
+    ids_of_sorted: jnp.ndarray      # (K,) i32 gaussian id per SORTED slot
 
 
 class Emission(NamedTuple):
@@ -62,46 +74,65 @@ class Emission(NamedTuple):
     key: jnp.ndarray          # (K,) u32 packed [tile_id | depth msbs]
     g: jnp.ndarray            # (K,) i32 real gaussian id per emission slot
     slot_valid: jnp.ndarray   # (K,) bool emission slot holds a real pair
-    feat9: jnp.ndarray        # (K, 9) f32 emission-order feature columns
+    feat9: jnp.ndarray        # (K, 9) f32 emission-order features
+                              #   (means TILE-LOCAL: mean - tile_origin)
     num_pairs: jnp.ndarray    # () i32
     overflow: jnp.ndarray     # () bool
     emission_ids: jnp.ndarray  # (K,) i32 (== g where valid, else -1)
-    block_chunk_start: jnp.ndarray
-    block_chunk_count: jnp.ndarray
 
 
-def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
-                  cfg: RasterizerConfig) -> Emission:
-    """Emission-order slot decode + alpha-cut cull + packed sort key.
+def _bisect_right(sorted_vals: jnp.ndarray, queries: jnp.ndarray):
+    """First index where sorted_vals[i] > q, per query (vectorized binary
+    search: log2(n) rounds of one queries-sized gather each — XLA's
+    searchsorted lowering is ~100x slower at these sizes on TPU)."""
+    n = sorted_vals.shape[0]
+    lo = jnp.zeros(queries.shape, i32)
+    hi = jnp.full(queries.shape, n, i32)
+    for _ in range(max(n, 1).bit_length()):
+        mid = (lo + hi) >> 1
+        v = sorted_vals[jnp.clip(mid, 0, n - 1)]
+        go_right = v <= queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return hi
 
-    feat9: (N, 9) per-gaussian feature rows [mx, my, ca, cb, cc, op, r, g, b].
-    All inputs are treated as constants (stop_gradient applied here).
-    """
+
+def _bisect_left_i32(sorted_vals: jnp.ndarray, queries: jnp.ndarray):
+    """First index where sorted_vals[i] >= q (i32 arrays)."""
+    n = sorted_vals.shape[0]
+    lo = jnp.zeros(queries.shape, i32)
+    hi = jnp.full(queries.shape, n, i32)
+    for _ in range(max(n, 1).bit_length()):
+        mid = (lo + hi) >> 1
+        v = sorted_vals[jnp.clip(mid, 0, n - 1)]
+        go_right = v < queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return hi
+
+
+def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
+    """Shared emission front-end: per-run compacted table + slot offsets.
+
+    Returns (ctable (ROWS, 16) f32 sentinel-padded, num_pairs, overflow,
+    nrun_blocks). Table rows: [real_id, offset, x0, y0, rect_w, depth,
+    mx, my, ca, cb, cc, op, r, g, b, 0]; real_id/offset stay < 2^24 so
+    their f32 round-trip through the one-hot matmul is exact."""
     N = depths.shape[0]
     K = cfg.pair_capacity
-    gx, gy = cfg.grid_size(width, height)
-    num_tiles = gx * gy
-    chunk = cfg.chunk
+    assert K < (1 << 24), "pair_capacity must fit f32-exact integers"
+    assert N < (1 << 22), "gaussian count must fit the 22-bit id carry"
 
     feat9 = jax.lax.stop_gradient(feat9)
     depths = jax.lax.stop_gradient(depths)
     rect = jax.lax.stop_gradient(rect)
     tiles = jax.lax.stop_gradient(tiles_touched)
 
-    # Exclusive prefix of per-gaussian tile counts -> pair slot offsets.
     cum = jnp.cumsum(tiles)
     num_pairs = cum[-1]
     offsets = cum - tiles                                  # (N,)
     has = (tiles > 0) & (offsets < K)
-    slot_valid = jnp.arange(K, dtype=i32) < jnp.minimum(num_pairs, K)
 
-    # Compacted per-run row table indexed by run id (run = emitting gaussian
-    # in index order): [real_id, offset, x0, y0, rect_w, depth, mx, my, ca,
-    # cb, cc, op, r, g, b, 0]. real_id/offset stay < 2^24 so their f32
-    # round-trip through the one-hot matmul is exact; raw f32 values pass
-    # through exactly at HIGHEST precision.
-    assert K < (1 << 24), "pair_capacity must fit f32-exact integers"
-    OSENT = f32(1 << 28)           # offset sentinel for non-run table rows
     gtable = jnp.concatenate([
         jnp.stack([
             jnp.arange(N, dtype=f32),                      # real id
@@ -117,18 +148,207 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
     # Compaction: run id -> real id via one 1-D scatter, then ONE row gather
     # (1-D column gathers are ~20x slower than row gathers on TPU). Rows
     # beyond the live run count select the sentinel row (offset = OSENT) so
-    # the slot->run step compare below never counts them.
+    # the slot->run step compare never counts them.
     sent_row = jnp.zeros((1, 16), f32).at[0, 1].set(OSENT)
     gtable_ext = jnp.concatenate([gtable, sent_row], axis=0)
     run_pos = jnp.cumsum(has.astype(i32)) - 1              # (N,)
     ridx = jnp.full((N,), N, i32).at[
         jnp.where(has, run_pos, N)
     ].set(jnp.arange(N, dtype=i32), mode="drop")
-    ctable = gtable_ext[ridx]                              # one (N, 16) row gather
+    ctable = gtable_ext[ridx]                              # one (N,16) gather
     nb128 = -(-N // 128) + 1                               # +1 spare block
     ctable = jnp.concatenate([
         ctable,
         jnp.tile(sent_row, (nb128 * 128 - N, 1))], axis=0)
+    return ctable, offsets, num_pairs, num_pairs > K, nb128
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused emission decode (TPU, packed-carry mode).
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(blk_ref, np_ref, ctab_hbm,
+                   key_ref, mxs_ref, mys_ref, p1_ref, p2_ref, p3_ref,
+                   blue_ref,
+                   wbuf, sems,
+                   *, gx: int, num_tiles: int, tb: int, tile: int,
+                   nsteps: int, cfg: RasterizerConfig):
+    """One grid step decodes DEC_S consecutive 128-slot emission chunks.
+
+    Streams an aligned window of the compacted run table (transposed,
+    (16, rows) — runs on the LANE axis), then per chunk: the (slot x run)
+    step compare against the table's offset row, an exact one-hot run
+    decode as an NT-matmul on the MXU (both operands contract their lane
+    dim, so no in-kernel transpose anywhere), tile/local decode, the exact
+    alpha-cut pair cull, key packing, tile-local mean conversion with the
+    gaussian id stuffed into the spare mantissa bits, and bf16 payload
+    packing. All (128, W)-sized intermediates stay in VMEM."""
+    sc = pl.program_id(0)
+    slot = jax.lax.rem(sc, 2)
+    WIN = DEC_S * 128 + DEC_W
+
+    def base(s):
+        return blk_ref[s * DEC_S] * 128
+
+    def dma_w(sl, s):
+        return pltpu.make_async_copy(
+            ctab_hbm.at[:, pl.ds(base(s), WIN)], wbuf.at[sl], sems.at[sl])
+
+    @pl.when(sc == 0)
+    def _():
+        dma_w(0, 0).start()
+
+    @pl.when(sc + 1 < nsteps)
+    def _():
+        dma_w(1 - slot, sc + 1).start()
+
+    dma_w(slot, sc).wait()
+
+    npairs = np_ref[0]
+    lane = jax.lax.broadcasted_iota(i32, (1, 128), 1)
+    sub = jax.lax.broadcasted_iota(i32, (128, 1), 0)
+    tile_f = f32(tile)
+
+    for j in range(DEC_S):
+        c = sc * DEC_S + j
+        off = (blk_ref[c] - blk_ref[sc * DEC_S]) * 128
+        win = wbuf[slot, :, pl.ds(off, DEC_W)]             # (16, W)
+        eo = win[1:2, :]                                   # (1, W) offsets
+
+        slot_col = (c * 128 + sub).astype(f32)             # (128, 1)
+        slot_f = (c * 128 + lane).astype(f32)              # (1, 128)
+        step = (eo <= slot_col).astype(f32)                # (128, W)
+        onehot = step - jnp.concatenate(
+            [step[:, 1:], jnp.zeros((128, 1), f32)], axis=1)
+        # NT-matmul: contract the lane (window) dim of BOTH operands —
+        # (16, W) x (128, W) -> (16, 128): features land on sublanes,
+        # slots on lanes, so all per-slot math below runs full-lane.
+        dec = jax.lax.dot_general(
+            win, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=HI)      # (16, 128)
+
+        rid = dec[0:1]
+        offv = dec[1:2]
+        x0, y0, rw = dec[2:3], dec[3:4], dec[4:5]
+        depth = dec[5:6]
+        mx, my = dec[6:7], dec[7:8]
+        ca, cb, cc = dec[8:9], dec[9:10], dec[10:11]
+        op = dec[11:12]
+        r, g, b = dec[12:13], dec[13:14], dec[14:15]
+
+        local = slot_f - offv                              # f32-exact ints
+        rwm = jnp.maximum(rw, 1.0)
+        q = jnp.floor(local / rwm)      # exact floor: ints < 2^24, rw < 64
+        txf = x0 + (local - q * rwm)
+        tyf = y0 + q
+
+        # Exact alpha-cut pair cull (see emission_core for the derivation).
+        x_lo = txf * tile_f - mx
+        x_hi = x_lo + (tile_f - 1.0)
+        y_lo = tyf * tile_f - my
+        y_hi = y_lo + (tile_f - 1.0)
+
+        def qval(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(dx):
+            dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), y_lo, y_hi)
+            return qval(dx, dy)
+
+        def edge_y(dy):
+            dx = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12), x_lo, x_hi)
+            return qval(dx, dy)
+
+        inside = (x_lo <= 0) & (0 <= x_hi) & (y_lo <= 0) & (0 <= y_hi)
+        qmin = jnp.minimum(jnp.minimum(edge_x(x_lo), edge_x(x_hi)),
+                           jnp.minimum(edge_y(y_lo), edge_y(y_hi)))
+        qmin = jnp.where(inside, 0.0, qmin)
+        alive = op * jnp.exp(-qmin) >= 0.98 / 255.0
+
+        valid = (c * 128 + lane) < npairs
+        tile_id = jnp.where(
+            valid & alive, (tyf * gx + txf).astype(i32), num_tiles)
+
+        dbits = jax.lax.bitcast_convert_type(depth, u32) >> tb
+        key = (tile_id.astype(u32) << (32 - tb)) | dbits
+
+        # Tile-local means with the gaussian id riding the low mantissa bits.
+        idu = rid.astype(i32).astype(u32)
+        mxl = mx - txf * tile_f
+        myl = my - tyf * tile_f
+        ux = ((jax.lax.bitcast_convert_type(mxl, u32) & u32(IDKEEP))
+              | (idu & u32(IDMASK)))
+        uy = ((jax.lax.bitcast_convert_type(myl, u32) & u32(IDKEEP))
+              | ((idu >> 11) & u32(IDMASK)))
+
+        key_ref[j, :] = key[0]
+        mxs_ref[j, :] = ux[0]
+        mys_ref[j, :] = uy[0]
+        p1_ref[j, :] = pack2bf16(ca, cb)[0]
+        p2_ref[j, :] = pack2bf16(cc, op)[0]
+        p3_ref[j, :] = pack2bf16(r, g)[0]
+        blue_ref[j, :] = b[0]
+
+
+def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
+                           cfg: RasterizerConfig):
+    """TPU decode: returns (key, mxs, mys, p1, p2, p3, blue) flat (K,)
+    arrays ready to be sort payload (packed-carry layout)."""
+    K = cfg.pair_capacity
+    C = K // 128
+    nsteps = C // DEC_S
+    gx, gy = cfg.grid_size(width, height)
+    num_tiles = gx * gy
+    tb = int(num_tiles + 1).bit_length()
+
+    WINPAD = DEC_S * 128 + DEC_W
+    sent_col = jnp.zeros((WINPAD, 16), f32).at[:, 1].set(OSENT)
+    ctab_pad = jnp.concatenate([ctable, sent_col], axis=0)  # (ROWS, 16)
+    ctab_T = ctab_pad.T                                     # (16, ROWS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[pl.BlockSpec((DEC_S, 128), lambda s, *_: (s, 0),
+                                memory_space=pltpu.VMEM)] * 7,
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, WINPAD), f32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_decode_kernel, gx=gx, num_tiles=num_tiles, tb=tb,
+                          tile=cfg.tile, nsteps=nsteps, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, 128), u32)] * 6
+        + [jax.ShapeDtypeStruct((C, 128), f32)],
+        interpret=jax.default_backend() != "tpu",
+    )(blk, num_pairs.reshape(1).astype(i32), ctab_T)
+    return tuple(o.reshape(K) for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# XLA emission decode (CPU / parity path; also the semantics reference).
+# ---------------------------------------------------------------------------
+
+
+def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
+                  cfg: RasterizerConfig) -> Emission:
+    """Emission-order slot decode + alpha-cut cull + packed sort key (XLA).
+
+    feat9: (N, 9) per-gaussian feature rows [mx, my, ca, cb, cc, op, r, g, b]
+    with GLOBAL pixel means; the returned feat9 carries TILE-LOCAL means.
+    All inputs are treated as constants (stop_gradient applied here).
+    """
+    K = cfg.pair_capacity
+    gx, gy = cfg.grid_size(width, height)
+    num_tiles = gx * gy
+
+    ctable, offsets, num_pairs, overflow, nb128 = _build_tables(
+        feat9, depths, rect, tiles_touched, cfg)
+    slot_valid = jnp.arange(K, dtype=i32) < jnp.minimum(num_pairs, K)
 
     # One-hot MXU run-length decode. Run offsets ascend strictly, so the run
     # of slot k is  r(k) = (# runs with offset <= k) - 1,  and within a
@@ -140,18 +360,11 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
     # poorly) with one fused compare+reduce over the already-gathered blocks.
     if K >= 128 and K % 128 == 0:
         C = K // 128
-        # First run of each chunk, from a small C-sized searchsorted over
-        # the compacted offsets (clip into the real table range).
-        # Window = three aligned 64-row blocks (192 rows): covers at least
-        # 192 - 63 = 129 >= 128 runs past any 64-aligned start, and a chunk
-        # spans <= 128 runs — minimal coverage at 75% of the 256-row
-        # operand footprint (the (C, 128, W) one-hot is the decode's
-        # dominant memory cost).
         W = 192
         nb64 = nb128 * 2
         eo = ctable[:, 1]                                  # (nb128*128,) f32
         chunk0 = (jnp.arange(C, dtype=i32) * 128).astype(f32)
-        r_start = jnp.searchsorted(eo, chunk0, side="right").astype(i32) - 1
+        r_start = _bisect_right(eo, chunk0) - 1
         blk = jnp.clip(jnp.maximum(r_start, 0) // 64, 0, nb64 - 3)  # (C,)
         blocks = jax.lax.gather(
             ctable.reshape(nb64, 64, 16), blk[:, None],
@@ -168,8 +381,8 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
         dec = jnp.einsum("cis,csf->cif", onehot.astype(f32), blocks,
                          precision=HI).reshape(K, 16)
     else:                          # tiny capacities: plain row gather
-        r = jnp.searchsorted(ctable[:, 1], jnp.arange(K, dtype=i32).astype(f32),
-                             side="right").astype(i32) - 1
+        r = _bisect_right(ctable[:, 1],
+                          jnp.arange(K, dtype=i32).astype(f32)) - 1
         dec = ctable[jnp.clip(r, 0, ctable.shape[0] - 1)]
 
     g = dec[:, 0].astype(i32)                              # real gaussian id
@@ -220,38 +433,47 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
     # Single packed u32 key: [tile_id | depth-msbs]. Positive-f32 bit
     # patterns are monotone as unsigned ints, so dropping the low `tb` bits
     # keeps a (quantized) depth order; quantization ties resolve to the
-    # stable emission order, matching the reference's stable radix sort.
+    # stable emission order when the sort is stable (cfg.sort_stable),
+    # matching the reference's stable radix sort.
     tb = int(num_tiles + 1).bit_length()                   # static
-    dbits = jax.lax.bitcast_convert_type(depth_of_slot, jnp.uint32) >> tb
-    key = (tile_id.astype(jnp.uint32) << (32 - tb)) | dbits
+    dbits = jax.lax.bitcast_convert_type(depth_of_slot, u32) >> tb
+    key = (tile_id.astype(u32) << (32 - tb)) | dbits
 
     emission_ids = jnp.where(slot_valid, g, -1)
 
-    # Per-128-gaussian-block emission chunk ranges for the segment-sum kernel.
-    nb = -(-N // chunk)
-    offsets_ext = jnp.concatenate([offsets, num_pairs[None]]).astype(i32)
-    g0 = jnp.minimum(jnp.arange(nb, dtype=i32) * chunk, N)
-    g1 = jnp.minimum(g0 + chunk, N)
-    start_pairs = jnp.minimum(offsets_ext[g0], K)
-    end_pairs = jnp.minimum(offsets_ext[g1], K)
-    block_c0 = start_pairs // chunk
-    block_nc = jnp.maximum(-(-end_pairs // chunk) - block_c0, 0)
-    block_nc = jnp.where(end_pairs > start_pairs, block_nc, 0)
+    # Tile-local means: every downstream consumer (pallas + XLA compositors,
+    # backward moment math) works in tile-local coordinates.
+    feat9_local = jnp.concatenate([
+        (mx - tx.astype(f32) * t)[:, None],
+        (my - ty.astype(f32) * t)[:, None],
+        dec[:, 8:15],
+    ], axis=1)
 
     return Emission(key=key, g=g, slot_valid=slot_valid,
-                    feat9=dec[:, 6:15], num_pairs=num_pairs,
-                    overflow=num_pairs > K,
-                    emission_ids=emission_ids,
-                    block_chunk_start=block_c0.astype(i32),
-                    block_chunk_count=block_nc.astype(i32))
+                    feat9=feat9_local, num_pairs=num_pairs,
+                    overflow=overflow,
+                    emission_ids=emission_ids)
 
 
 def tile_ranges_from_sorted_keys(key_s, num_tiles: int):
-    """Per-tile [start, start+count) via searchsorted over sorted keys."""
+    """Per-tile [start, start+count) over sorted keys.
+
+    Hand-rolled bisect_left: ceil(log2(K)) rounds of one (T+1,)-sized gather
+    each. jnp.searchsorted's XLA lowering costs ~4.7 ms at K=2.75M on v5e;
+    this runs in the tens of microseconds."""
     tb = int(num_tiles + 1).bit_length()
-    boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.uint32)
-                  << jnp.uint32(32 - tb))
-    edges = jnp.searchsorted(key_s, boundaries, side="left").astype(i32)
+    boundaries = (jnp.arange(num_tiles + 1, dtype=u32)
+                  << u32(32 - tb))
+    K = key_s.shape[0]
+    lo = jnp.zeros((num_tiles + 1,), i32)
+    hi = jnp.full((num_tiles + 1,), K, i32)
+    for _ in range(max(K, 1).bit_length()):
+        mid = (lo + hi) >> 1
+        v = key_s[jnp.clip(mid, 0, K - 1)]
+        go_right = v < boundaries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    edges = hi
     return edges[:-1], edges[1:] - edges[:-1]
 
 
@@ -263,15 +485,15 @@ def tile_ranges_from_sorted_keys(key_s, num_tiles: int):
 def pack2bf16(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Two f32 -> one u32 [bf16(x) | bf16(y)], round-to-nearest-even."""
     def _rne_hi16(v):
-        b = jax.lax.bitcast_convert_type(v, jnp.uint32)
-        return (b + jnp.uint32(0x7FFF) + ((b >> 16) & jnp.uint32(1))) \
-            & jnp.uint32(0xFFFF0000)
+        b = jax.lax.bitcast_convert_type(v, u32)
+        return (b + u32(0x7FFF) + ((b >> 16) & u32(1))) \
+            & u32(0xFFFF0000)
     return _rne_hi16(x) | (_rne_hi16(y) >> 16)
 
 
 def unpack2bf16(p: jnp.ndarray):
     """Inverse of pack2bf16 (each half exactly representable in f32)."""
-    x = jax.lax.bitcast_convert_type(p & jnp.uint32(0xFFFF0000), f32)
+    x = jax.lax.bitcast_convert_type(p & u32(0xFFFF0000), f32)
     y = jax.lax.bitcast_convert_type(p << 16, f32)
     return x, y
 
@@ -296,11 +518,32 @@ def _unpack_cols(payload, packed: bool):
     return out
 
 
+def stuff_ids(mxl: jnp.ndarray, myl: jnp.ndarray, ids: jnp.ndarray):
+    """Ride the 22-bit gaussian id in the low mantissa bits of the two
+    tile-local mean columns (11 bits each). Tile-local means are bounded by
+    the emission rect (~3 sigma + tile), so the <= 2^-12 relative
+    perturbation stays proportional to the splat's own scale."""
+    idu = ids.astype(u32)
+    ux = ((jax.lax.bitcast_convert_type(mxl, u32) & u32(IDKEEP))
+          | (idu & u32(IDMASK)))
+    uy = ((jax.lax.bitcast_convert_type(myl, u32) & u32(IDKEEP))
+          | ((idu >> 11) & u32(IDMASK)))
+    return ux, uy
+
+
+def unstuff_ids(ux: jnp.ndarray, uy: jnp.ndarray):
+    mxl = jax.lax.bitcast_convert_type(ux, f32)
+    myl = jax.lax.bitcast_convert_type(uy, f32)
+    ids = ((ux & u32(IDMASK))
+           | ((uy & u32(IDMASK)) << 11)).astype(i32)
+    return mxl, myl, ids
+
+
 # ---------------------------------------------------------------------------
 # Per-gaussian cotangent reduction (the backward of the feature carry).
 # ---------------------------------------------------------------------------
 
-SPAN = 16  # emission chunks fetched per DMA (amortizes DMA issue latency)
+SPAN = 16  # chunks fetched per DMA (amortizes DMA issue latency)
 IDCOL = FEAT - 1  # gaussian ids ride the spare last feature column
                   # (bitcast i32) so each span needs ONE DMA stream
 
@@ -309,11 +552,12 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
                    ctbuf, sems, *, chunk: int):
     """Per-128-Gaussian-block segmented sum via one-hot matmuls.
 
-    Each block's emission chunks are streamed in double-buffered SPAN-chunk
-    DMAs; every sub-chunk contributes one (pair, gauss) one-hot x (pair,
-    FEAT) MXU matmul. Boundary chunks shared between adjacent blocks are
-    visited by both; the one-hot comparison against the block's own gaussian
-    ids (riding feature row IDCOL) keeps the contributions disjoint."""
+    Each block's id-sorted cotangent chunks are streamed in double-buffered
+    SPAN-chunk DMAs; every sub-chunk contributes one (pair, gauss) one-hot x
+    (pair, FEAT) MXU matmul. Boundary chunks shared between adjacent blocks
+    are visited by both; the one-hot comparison against the block's own
+    gaussian ids (riding feature row IDCOL) keeps the contributions
+    disjoint."""
     b = pl.program_id(0)
     g0 = b * chunk
     nc = nc_ref[b]
@@ -355,8 +599,8 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
 
 def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
                     cfg: RasterizerConfig):
-    """(K/chunk, FEAT, chunk) emission-order cotangents (gaussian ids
-    bitcast into row IDCOL) -> (n_rows, FEAT)."""
+    """(KC, FEAT, chunk) id-sorted cotangents (gaussian ids bitcast into row
+    IDCOL) -> (n_rows, FEAT)."""
     chunk = cfg.chunk
     NB = block_c0.shape[0]
     # Tail-pad so a SPAN-sized DMA starting at the last chunk stays in
@@ -395,36 +639,64 @@ def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
 def emit_sorted_pairs(feat9, depths, rect, tiles_touched,
                       width: int, height: int, cfg: RasterizerConfig):
     """feat9 (N, 9) per-gaussian features -> ((K/chunk, FEAT, chunk) sorted
-    pair features, EmitAux). Differentiable w.r.t. feat9 only."""
+    pair features with TILE-LOCAL means, EmitAux). Differentiable w.r.t.
+    feat9 only."""
     out, _ = _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg)
     return out
+
+
+def _use_pallas_decode(cfg: RasterizerConfig) -> bool:
+    return (jax.default_backend() == "tpu" and cfg.feat_carry_bf16
+            and cfg.chunk == 128
+            and cfg.pair_capacity % (128 * DEC_S) == 0)
 
 
 def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg):
     K = cfg.pair_capacity
     chunk = cfg.chunk
     gx, gy = cfg.grid_size(width, height)
-    em = emission_core(feat9, depths, rect, tiles_touched, width, height, cfg)
+    num_tiles = gx * gy
+    stable = cfg.sort_stable or not cfg.feat_carry_bf16
 
-    # Means stay f32 (sub-pixel precision); conic/opacity/rgb optionally ride
-    # as bf16 pairs to halve sort payload cost (cfg.feat_carry_bf16).
-    emission_idx = jnp.arange(K, dtype=i32)
-    mcols = (em.feat9[:, 0], em.feat9[:, 1])
-    rest = tuple(em.feat9[:, i] for i in range(2, NCOLS))
+    if _use_pallas_decode(cfg):
+        ctable, _, num_pairs, overflow, nb128 = _build_tables(
+            jax.lax.stop_gradient(feat9), jax.lax.stop_gradient(depths),
+            jax.lax.stop_gradient(rect),
+            jax.lax.stop_gradient(tiles_touched), cfg)
+        C = K // 128
+        chunk0 = (jnp.arange(C, dtype=i32) * 128).astype(f32)
+        r_start = _bisect_right(ctable[:, 1], chunk0) - 1
+        blk = jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
+        key, mxs, mys, p1, p2, p3, blue = emission_decode_pallas(
+            ctable, blk, num_pairs, width, height, cfg)
+        payload = (mxs, mys, p1, p2, p3, blue)
+    else:
+        em = emission_core(feat9, depths, rect, tiles_touched, width, height,
+                           cfg)
+        key, num_pairs, overflow = em.key, em.num_pairs, em.overflow
+        ids = jnp.where(em.slot_valid, em.g, (1 << 22) - 1)
+        if cfg.feat_carry_bf16:
+            mxs, mys = stuff_ids(em.feat9[:, 0], em.feat9[:, 1], ids)
+            payload = (mxs, mys,
+                       pack2bf16(em.feat9[:, 2], em.feat9[:, 3]),
+                       pack2bf16(em.feat9[:, 4], em.feat9[:, 5]),
+                       pack2bf16(em.feat9[:, 6], em.feat9[:, 7]),
+                       em.feat9[:, 8])
+        else:
+            payload = tuple(em.feat9[:, i] for i in range(NCOLS)) + (ids,)
+
+    sorted_ = jax.lax.sort((key,) + payload, num_keys=1, is_stable=stable)
+    key_s = sorted_[0]
     if cfg.feat_carry_bf16:
-        rest = (pack2bf16(rest[0], rest[1]), pack2bf16(rest[2], rest[3]),
-                pack2bf16(rest[4], rest[5]), rest[6])
-    sorted_ = jax.lax.sort((em.key, emission_idx) + mcols + rest, num_keys=1,
-                           is_stable=True)
-    key_s, e_s = sorted_[0], sorted_[1]
-    cols = list(sorted_[2:4])
-    if cfg.feat_carry_bf16:
-        for p in sorted_[4:7]:
+        mxl, myl, ids_sorted = unstuff_ids(sorted_[1], sorted_[2])
+        cols = [mxl, myl]
+        for p in sorted_[3:6]:
             x, y = unpack2bf16(p)
             cols += [x, y]
-        cols.append(sorted_[7])
+        cols.append(sorted_[6])
     else:
-        cols += list(sorted_[4:])
+        cols = list(sorted_[1:NCOLS + 1])
+        ids_sorted = sorted_[NCOLS + 1]
     # Assemble the chunk-transposed (K/chunk, FEAT, chunk) layout directly:
     # each (K,) column reshapes (free) to (K/chunk, 1, chunk) and one concat
     # writes the final layout — no (K, FEAT) intermediate + transpose.
@@ -432,47 +704,93 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg):
         [c.reshape(K // chunk, 1, chunk) for c in cols]
         + [jnp.zeros((K // chunk, FEAT - NCOLS, chunk), f32)], axis=1)
 
-    tile_starts, tile_counts = tile_ranges_from_sorted_keys(key_s, gx * gy)
+    tile_starts, tile_counts = tile_ranges_from_sorted_keys(key_s, num_tiles)
+    ids_sorted = ids_sorted.astype(i32)
     aux = EmitAux(tile_starts=tile_starts, tile_counts=tile_counts,
-                  num_pairs=em.num_pairs, overflow=em.overflow,
-                  emission_of_sorted=e_s,
-                  emission_ids=em.emission_ids,
-                  block_chunk_start=em.block_chunk_start,
-                  block_chunk_count=em.block_chunk_count)
-    res = (feat9.shape[0], e_s, em.emission_ids,
-           em.block_chunk_start, em.block_chunk_count)
+                  num_pairs=num_pairs, overflow=overflow,
+                  ids_of_sorted=ids_sorted)
+    res = (feat9.shape[0], ids_sorted)
     return (pair_feat, aux), res
 
 
+def _reduce_sorted_cts(ct3d, ids2d, n_rows: int, cfg: RasterizerConfig):
+    """Sort (gaussian-id, cotangent columns) and segment-sum per gaussian.
+
+    ct3d: (NCH, FEAT, chunk) cotangents; ids2d: (NCH, chunk) gaussian ids
+    (sentinel >= n_rows for dead slots). Returns (n_rows, FEAT)."""
+    chunk = cfg.chunk
+    NCH = ct3d.shape[0]
+    Kc = NCH * chunk
+    cols = tuple(ct3d[:, j, :].reshape(Kc) for j in range(NCOLS))
+    payload = _pack_cols(cols, cfg.grad_carry_bf16)
+    sorted_ = jax.lax.sort((ids2d.reshape(Kc),) + payload, num_keys=1,
+                           is_stable=True)
+    ids_s = sorted_[0]
+    ecols = _unpack_cols(sorted_[1:], cfg.grad_carry_bf16)
+    # Per-128-gaussian-block chunk ranges in the id-sorted stream.
+    nb = -(-n_rows // chunk)
+    bounds = jnp.arange(nb + 1, dtype=i32) * chunk
+    edges = _bisect_left_i32(ids_s, bounds)                # (nb+1,)
+    start, end = edges[:-1], edges[1:]
+    block_c0 = start // chunk
+    block_nc = jnp.where(end > start, (end - 1) // chunk - block_c0 + 1, 0)
+    ids_f = jax.lax.bitcast_convert_type(ids_s, f32)
+    ct_s3d = jnp.concatenate(
+        [c.reshape(NCH, 1, chunk) for c in ecols]
+        + [jnp.zeros((NCH, FEAT - NCOLS - 1, chunk), f32),
+           ids_f.reshape(NCH, 1, chunk)], axis=1)
+    return segment_sum_tpu(ct_s3d, block_c0, block_nc, n_rows, cfg)
+
+
+def _emit_bwd_tpu(ct3d, ids_sorted, n_rows: int, cfg: RasterizerConfig):
+    """TPU cotangent reduction: zero-chunk compaction -> id sort -> MXU
+    segment sum. Returns (n_rows, FEAT). Also runs under interpret mode on
+    CPU for testing."""
+    chunk = cfg.chunk
+    KC = ct3d.shape[0]
+    ids2d = ids_sorted.reshape(KC, chunk)
+    # Compact away all-zero cotangent chunks (the compositor's
+    # early-termination zero-fill leaves most of capacity exactly zero
+    # on saturated scenes) before paying for the id sort. Capacity is
+    # a static fraction; when the live count exceeds it, fall back to
+    # the full-size reduction (never drops gradient signal).
+    cap = min(KC, max(256, int(KC * cfg.bwd_compact_frac)))
+    if cap >= KC:
+        return _reduce_sorted_cts(ct3d, ids2d, n_rows, cfg)
+    nz = jnp.max(jnp.abs(ct3d), axis=(1, 2)) > 0.0     # (KC,)
+    nv = jnp.sum(nz.astype(i32))
+    pos = jnp.cumsum(nz.astype(i32)) - 1
+    # Visited-chunk index list; unfilled tail points at the appended
+    # zero chunk (ids sentinel) so padding contributes nothing.
+    perm = jnp.full((cap,), KC, i32).at[
+        jnp.where(nz, pos, cap)].set(jnp.arange(KC, dtype=i32),
+                                     mode="drop")
+    ct3d_x = jnp.concatenate(
+        [ct3d, jnp.zeros((1, FEAT, chunk), f32)], axis=0)
+    ids2d_x = jnp.concatenate(
+        [ids2d, jnp.full((1, chunk), (1 << 22) - 1, i32)], axis=0)
+
+    def compact_path(_):
+        return _reduce_sorted_cts(ct3d_x[perm], ids2d_x[perm],
+                                  n_rows, cfg)
+
+    def full_path(_):
+        return _reduce_sorted_cts(ct3d, ids2d, n_rows, cfg)
+
+    return jax.lax.cond(nv <= cap, compact_path, full_path, None)
+
+
 def _emit_bwd(width, height, cfg, res, cot):
-    n_rows, e_s, emission_ids, block_c0, block_nc = res
+    n_rows, ids_sorted = res
     ct3d, _ = cot                                          # aux is int-typed
     K = cfg.pair_capacity
-    chunk = cfg.chunk
     if jax.default_backend() == "tpu":
-        # Permute cotangents to emission order (each gaussian's pairs
-        # contiguous) by SORTING on the carried emission index — payload
-        # sorts run ~3x faster than K-row random gathers on TPU. Keys are a
-        # permutation (unique), so stability is moot. Cotangent columns
-        # optionally ride as bf16 pairs (cfg.grad_carry_bf16).
-        cols = tuple(ct3d[:, j, :].reshape(K) for j in range(NCOLS))
-        payload = _pack_cols(cols, cfg.grad_carry_bf16)
-        sorted_ = jax.lax.sort((e_s,) + payload, num_keys=1, is_stable=False)
-        ecols = _unpack_cols(sorted_[1:], cfg.grad_carry_bf16)
-        # Gaussian ids ride the spare last feature row (bitcast) so the
-        # segment-sum kernel streams ONE array.
-        ids_f = jax.lax.bitcast_convert_type(emission_ids, f32)
-        ct_e3d = jnp.concatenate(
-            [c.reshape(K // chunk, 1, chunk) for c in ecols]
-            + [jnp.zeros((K // chunk, FEAT - NCOLS - 1, chunk), f32),
-               ids_f.reshape(K // chunk, 1, chunk)], axis=1)
-        drows = segment_sum_tpu(ct_e3d, block_c0, block_nc, n_rows, cfg)
+        drows = _emit_bwd_tpu(ct3d, ids_sorted, n_rows, cfg)
     else:
-        # CPU/interpret: one scatter-add in sorted order (ids gathered from
-        # the emission-order table; invalid slots route to a dropped row).
+        # CPU/interpret: one scatter-add keyed directly on the sorted ids.
         flat = ct3d.transpose(0, 2, 1).reshape(K, FEAT)
-        ids_sorted = emission_ids[e_s]
-        safe = jnp.where(ids_sorted >= 0, ids_sorted, n_rows)
+        safe = jnp.where((ids_sorted >= 0) & (ids_sorted < n_rows),
+                         ids_sorted, n_rows)
         drows = jnp.zeros((n_rows, FEAT), f32).at[safe].add(
             flat, mode="drop")
     return (drows[:, :NCOLS], None, None, None)

@@ -25,9 +25,8 @@ from the CUDA structure — chosen for the TPU execution model, not translated:
     on the 0.99 clamp (backward.cu:500-505 differentiates op*G).
 
 Pair data is the chunk-transposed (K/chunk, FEAT, chunk) layout produced by
-pack_pair_features, and ranges are chunk-aligned by binning.bin_gaussians, so
-every DMA is a lane-aligned (FEAT, chunk) block and per-pair gradient writes
-never straddle tiles.
+emit.emit_sorted_pairs (means TILE-LOCAL), so every DMA is a lane-aligned
+(FEAT, chunk) block and per-pair gradient writes never straddle tiles.
 """
 
 from __future__ import annotations
@@ -46,20 +45,17 @@ f32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
-def _pixel_coords(t, gx: int, tile: int, P: int):
-    """(1, P) TILE-LOCAL pixel coordinates for flat pixel p = y*tile + x,
-    plus the tile origin (ox, oy) scalars.
+def _pixel_coords(tile: int, P: int):
+    """(1, P) TILE-LOCAL pixel coordinates for flat pixel p = y*tile + x.
 
-    All kernel math runs in tile-local coordinates: dx/dy and every moment
-    expression are shift-invariant, and local coords keep the MXU monomial
-    expansion of the quadratic form well-conditioned (global px up to ~1e3
-    would amplify f32 cancellation ~1e4x)."""
-    ox = (t % gx).astype(f32) * tile
-    oy = (t // gx).astype(f32) * tile
+    All kernel math runs in tile-local coordinates (the pair features carry
+    TILE-LOCAL means, produced by emit): dx/dy and every moment expression
+    are shift-invariant, and local coords keep the math well-conditioned
+    (global px up to ~1e3 would amplify f32 cancellation ~1e4x)."""
     p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (p & (tile - 1)).astype(f32)
     py = (p >> 5 if tile == 32 else p // tile).astype(f32)
-    return px, py, ox, oy
+    return px, py
 
 
 def _incl_scan(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
@@ -93,16 +89,17 @@ def _power_basis(px, py, P: int):
         [jnp.ones((1, P), f32), px, py, px * px, px * py, py * py], axis=0)
 
 
-def _chunk_alpha(f, px, py, ox, oy, thresh_row, cfg: RasterizerConfig):
+def _chunk_alpha(f, px, py, thresh_row, cfg: RasterizerConfig):
     """Per-chunk alpha computation shared by fwd and bwd replay.
 
     f: (chunk, FEAT) feature rows (transposed in-kernel from the chunk
-    layout); (px, py): (1, P) tile-local pixel coordinates; (ox, oy): tile
-    origin; thresh_row: (chunk, 1) alpha acceptance threshold — alpha_min
-    for rows inside this tile's exact [start, start+count) pair range, +inf
-    for rows owned by neighboring tiles (boundary chunks are shared), so the
-    range mask and the reference's `alpha < 1/255` skip collapse into ONE
-    compare. Returns dict of (chunk, P)/(chunk, 1) intermediates.
+    layout, means TILE-LOCAL as produced by emit); (px, py): (1, P)
+    tile-local pixel coordinates; thresh_row: (chunk, 1) alpha acceptance
+    threshold — alpha_min for rows inside this tile's exact
+    [start, start+count) pair range, +inf for rows owned by neighboring
+    tiles (boundary chunks are shared), so the range mask and the
+    reference's `alpha < 1/255` skip collapse into ONE compare. Returns
+    dict of (chunk, P)/(chunk, 1) intermediates.
 
     Runs on the VPU in tile-local coordinates (dx/dy are shift-invariant;
     an MXU monomial expansion was tried and is SLOWER — a K=6 contraction
@@ -114,7 +111,7 @@ def _chunk_alpha(f, px, py, ox, oy, thresh_row, cfg: RasterizerConfig):
     non-negative and power <= 0 up to float rounding (exp(+1e-7) ~ 1 is
     absorbed by the 0.99 clamp). Dropping the test saves two full-size ops.
     """
-    gxs, gys = f[:, 0:1] - ox, f[:, 1:2] - oy      # tile-local centers
+    gxs, gys = f[:, 0:1], f[:, 1:2]                # tile-local centers
     ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
     op = f[:, 5:6]
     ca2, cc2 = -0.5 * ca, -0.5 * cc                # (chunk, 1): free
@@ -179,7 +176,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
     nspans = (nchunks + SPAN - 1) // SPAN
 
-    px, py, ox, oy = _pixel_coords(t, gx, tile, P)
+    px, py = _pixel_coords(tile, P)
     color_ref[0] = jnp.zeros((3, P), f32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
@@ -188,7 +185,12 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
             pairs_hbm.at[pl.ds(c0 + si * SPAN, SPAN)], bufs.at[slot],
             sems.at[slot])
 
-    @pl.when(nspans > 0)
+    # Span-0 DMA protocol: every nonempty tile's first span is prefetched by
+    # the PREVIOUS grid step (cross-tile pipelining hides the first-DMA
+    # latency, which otherwise sits on the critical path of every tile
+    # because early exit keeps per-tile span counts low). Tile 0 has no
+    # predecessor and issues its own.
+    @pl.when((t == 0) & (nspans > 0))
     def _():
         dma(0, 0).start()
 
@@ -215,7 +217,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
             rowid = (c0 + i) * chunk + row_iota
             thresh = jnp.where((rowid >= lo) & (rowid < hi),
                                cfg.alpha_min, jnp.inf)
-            v = _chunk_alpha(bufs[slot, j].T, px, py, ox, oy, thresh, cfg)
+            v = _chunk_alpha(bufs[slot, j].T, px, py, thresh, cfg)
             c = _composite_core(v, T_pix, done, cfg, chunk)
             acc = acc + jax.lax.dot_general(
                 v["rgb"], c["w"], (((0,), (0,)), ((), ())),
@@ -233,6 +235,18 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     @pl.when(s_end < nspans)
     def _():
         dma(jax.lax.rem(s_end, 2), s_end).wait()
+
+    # Prefetch the NEXT tile's first span (see span-0 protocol above).
+    @pl.when(t + 1 < pl.num_programs(0))
+    def _():
+        lo_n = starts_ref[jnp.minimum(t + 1, pl.num_programs(0) - 1)]
+        cnt_n = counts_ref[jnp.minimum(t + 1, pl.num_programs(0) - 1)]
+
+        @pl.when(cnt_n > 0)
+        def _():
+            pltpu.make_async_copy(
+                pairs_hbm.at[pl.ds(lo_n // chunk, SPAN)], bufs.at[0],
+                sems.at[0]).start()
 
 
 def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
@@ -252,7 +266,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     # (if any) writes per-chunk so the next tile's chunks are never touched.
     full_spans = nchunks // SPAN
 
-    px, py, ox, oy = _pixel_coords(t, gx, tile, P)
+    px, py = _pixel_coords(tile, P)
     # Shared (6, P) tile-local monomial basis: forward quadratic form and
     # backward moment reductions both run as matmuls against it.
     basis = _power_basis(px, py, P)
@@ -267,9 +281,11 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     dC = dC_ref[0]                                       # (3, P)
     T_fin = finalT_ref[0]                                # (1, P)
     dTf = dTf_ref[0]                                     # (1, P)
-    # U_total per pixel = sum_ch C_pre_bg[ch] * dC[ch]  (1, P)
-    U_tot = jnp.sum(color_in_ref[0] * dC, axis=0, keepdims=True)
-    dTfT = dTf * T_fin                                   # (1, P)
+    # U_total per pixel = sum_ch C_pre_bg[ch] * dC[ch], with the final-T
+    # cotangent term dTf*T_fin folded in once here (it only ever appears as
+    # S + dTf*T_fin in dalpha — folding saves a (chunk, P) add per chunk).
+    U_tot = (jnp.sum(color_in_ref[0] * dC, axis=0, keepdims=True)
+             + dTf * T_fin)
 
     def dma_in(slot, si):
         return pltpu.make_async_copy(
@@ -286,7 +302,8 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
                                      dpairs_hbm.at[c0 + ci],
                                      gsems.at[slot])
 
-    @pl.when(nspans > 0)
+    # Span-0 protocol: prefetched by the previous grid step (see forward).
+    @pl.when((t == 0) & (nspans > 0))
     def _():
         dma_in(0, 0).start()
 
@@ -305,7 +322,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         rowid = (c0 + i) * chunk + row_iota
         thresh = jnp.where((rowid >= lo) & (rowid < hi),
                            cfg.alpha_min, jnp.inf)
-        v = _chunk_alpha(feat.T, px, py, ox, oy, thresh, cfg)
+        v = _chunk_alpha(feat.T, px, py, thresh, cfg)
         alpha_eff = v["alpha_eff"]
         alpha_raw, op = v["alpha_raw"], v["op"]
         c = _composite_core(v, T_pix, done, cfg, chunk)
@@ -321,7 +338,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
 
         acc = m * jnp.where(alpha_eff > 0.0, 1.0, 0.0)
         inv1m = 1.0 / (1.0 - alpha_eff)
-        dalpha = acc * (u * T_g - (S + dTfT) * inv1m)
+        dalpha = acc * (u * T_g - S * inv1m)
 
         dpower = dalpha * alpha_raw                      # = op * dalpha * G
 
@@ -444,6 +461,18 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         zw = dma_out_chunk(0, 0, nchunks - 1)
         zw.start()
         zw.wait()
+
+    # Prefetch the NEXT tile's first input span (span-0 protocol).
+    @pl.when(t + 1 < pl.num_programs(0))
+    def _():
+        lo_n = starts_ref[jnp.minimum(t + 1, pl.num_programs(0) - 1)]
+        cnt_n = counts_ref[jnp.minimum(t + 1, pl.num_programs(0) - 1)]
+
+        @pl.when(cnt_n > 0)
+        def _():
+            pltpu.make_async_copy(
+                pairs_hbm.at[pl.ds(lo_n // chunk, SPAN)], bufs.at[0],
+                sems.at[0]).start()
 
 
 def _interpret() -> bool:

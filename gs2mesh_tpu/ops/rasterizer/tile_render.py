@@ -29,37 +29,17 @@ from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
 FEAT = 16  # padded feature width (TPU-friendly)
 
 
-def pack_pair_features(prep, pair_ids: jnp.ndarray,
-                       chunk: int = 128) -> jnp.ndarray:
-    """Gather per-pair features into a chunk-transposed (K/chunk, FEAT,
-    chunk) array: one fused row gather (XLA-TPU 1-D gathers are ~20x
-    slower), then a per-chunk transpose so every Pallas DMA block is a
-    lane-aligned (FEAT, chunk) tile. ``pair_ids == N`` selects an appended
-    dummy row (opacity 0 → no contribution/gradient)."""
-    N = prep.means2d.shape[0]
-    K = pair_ids.shape[0]
-    rows = jnp.concatenate([
-        prep.means2d, prep.conic, prep.opacity[:, None], prep.rgb,
-        jnp.zeros((N, FEAT - 9), jnp.float32)], axis=1)     # (N, FEAT)
-    rows = jnp.concatenate([rows, jnp.zeros((1, FEAT), jnp.float32)], axis=0)
-    g = rows[pair_ids]                                      # (K, FEAT)
-    return g.reshape(K // chunk, chunk, FEAT).transpose(0, 2, 1)
-
-
 def pair_features_2d(pairs3d: jnp.ndarray) -> jnp.ndarray:
     """(K/chunk, FEAT, chunk) -> (FEAT, K) view for the XLA path."""
     kc, feat, chunk = pairs3d.shape
     return pairs3d.transpose(1, 0, 2).reshape(feat, kc * chunk)
 
 
-def tile_pixel_coords(tile_idx: jnp.ndarray, gx: int, tile: int):
-    """Pixel coordinates for flat pixel index p = y_local*tile + x_local."""
-    tx = (tile_idx % gx).astype(jnp.float32)
-    ty = (tile_idx // gx).astype(jnp.float32)
+def local_pixel_coords(tile: int):
+    """TILE-LOCAL pixel coordinates for flat pixel index p = y*tile + x
+    (pair features carry tile-local means, so every tile shares these)."""
     p = jnp.arange(tile * tile, dtype=jnp.float32)
-    px = tx * tile + (p % tile)
-    py = ty * tile + p // tile
-    return px, py
+    return p % tile, p // tile
 
 
 def _composite_tile(feat, valid, px, py, cfg: RasterizerConfig):
@@ -123,12 +103,11 @@ def render_tiles_xla(pair_feat: jnp.ndarray,
     idx = jnp.where(valid & (idx < K), idx, K - 1)
     feats = pair_feat[:, idx].transpose(1, 0, 2)           # (T, FEAT, L)
 
-    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    px, py = jax.vmap(lambda t: tile_pixel_coords(t, gx, cfg.tile))(tiles)
+    px, py = local_pixel_coords(cfg.tile)
 
     C, final_T = jax.vmap(
-        lambda f, v, x, y: _composite_tile(f, v, x, y, cfg)
-    )(feats, valid, px, py)
+        lambda f, v: _composite_tile(f, v, px, py, cfg)
+    )(feats, valid)
     return C, final_T
 
 
