@@ -32,7 +32,7 @@ def main():
     n_gauss = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     width, height = 960, 576
     args, cam = _scene(n_gauss, width, height)
-    cfg = RasterizerConfig(pair_capacity=2_752_512)  # 2.59M emissions + ~6%
+    cfg = RasterizerConfig(pair_capacity=2_621_440)  # 2.59M emissions + ~1%
 
     target = jnp.zeros((3, height, width), jnp.float32)
 

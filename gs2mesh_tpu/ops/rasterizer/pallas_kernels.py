@@ -336,7 +336,9 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         U_incl = U_run + _incl_scan(uw, chunk)
         S = U_tot - U_incl
 
-        acc = m * jnp.where(alpha_eff > 0.0, 1.0, 0.0)
+        # accept = m & (alpha_eff > 0); w = alpha*m*T_g > 0 iff both hold
+        # (T_g > 0 always), so ONE compare recovers it.
+        acc = jnp.where(w > 0.0, 1.0, 0.0)
         inv1m = 1.0 / (1.0 - alpha_eff)
         dalpha = acc * (u * T_g - S * inv1m)
 
