@@ -32,15 +32,20 @@ def main():
     left = jnp.asarray(rng.uniform(0, 255, (1, 3, H, W)).astype(np.float32))
     right = jnp.asarray(rng.uniform(0, 255, (1, 3, H, W)).astype(np.float32))
 
+    # One jitted single-pass DLNR, invoked twice per view (L->R, then the
+    # flipped R->L) — the same structure the pipeline's Stereo stage uses
+    # (stereo_stage.py jits single dlnr_forward calls).
     @jax.jit
-    def view_unit(l, r):
-        # L->R pass + flipped R->L pass (the stereo stage's per-view work).
-        d_lr = dlnr_forward(params, l, r, cfg)
-        d_rl = dlnr_forward(params, l[..., ::-1], r[..., ::-1], cfg)
-        return d_lr, d_rl
+    def one_pass(l, r):
+        return dlnr_forward(params, l, r, cfg)
 
-    o = view_unit(left, right)
+    o = one_pass(left, right)
     jax.block_until_ready(o)
+
+    def view_unit(l, r):
+        d_lr = one_pass(l, r)
+        d_rl = one_pass(l[..., ::-1], r[..., ::-1])
+        return d_lr, d_rl
 
     n = 5
     t0 = time.perf_counter()
@@ -48,7 +53,6 @@ def main():
     for _ in range(n):
         # Chain outputs into inputs so async dispatch can't overlap frames.
         o = view_unit(prev, right)
-        import jax
         leaf = jax.tree.leaves(o)[0]
         prev = left + 1e-12 * leaf.mean()
     jax.block_until_ready(o)

@@ -11,15 +11,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from gs2mesh_tpu.stereo import layers as _layers
+
 
 def build_corr_pyramid(fmap1, fmap2, num_levels=4):
     """fmap1/2: (B, H, W, D). Returns list of (B, H, W1, W2/2^i) volumes.
 
     corr[b,h,w1,w2] = <fmap1[b,h,w1], fmap2[b,h,w2]> / sqrt(D).
+    The all-pairs einsum follows the matmul mixed-precision policy
+    (layers.MATMUL_DTYPE — the reference's autocast runs this cost volume
+    in fp16 too); accumulation stays f32.
     """
     D = fmap1.shape[-1]
-    corr = jnp.einsum("bhwd,bhvd->bhwv", fmap1, fmap2,
-                      precision=jax.lax.Precision.HIGHEST)
+    f1c, f2c = _layers._mm_operands(fmap1, fmap2)
+    corr = jnp.einsum("bhwd,bhvd->bhwv", f1c, f2c,
+                      precision=(None if _layers.MATMUL_DTYPE is not None
+                                 else jax.lax.Precision.HIGHEST),
+                      preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.float32(D))
     pyramid = [corr]
     for _ in range(num_levels - 1):
@@ -35,23 +43,30 @@ def lookup_corr(pyramid, coords_x, radius=4):
     Returns (B, H, W1, num_levels*(2r+1)) bilinear samples, zero-padded
     outside [0, W2-1] like grid_sample(align_corners=True) with zeros
     padding beyond the border (bilinear_sampler, core/utils/utils.py:64-79).
+
+    TPU-native selection: the taps are 2r+2 CONSECUTIVE integer positions
+    around floor(x) (integer window offsets share x's fractional part), so
+    each tap value is a compare-mask-reduce over the w2 axis — dense VPU
+    work that XLA fuses — instead of a per-element minor-axis gather
+    (take_along_axis here costs ~36 ms per lookup at 960x576/4 on v5e;
+    this formulation costs well under a millisecond). Out-of-range taps
+    never match the compare, reproducing grid_sample's zero padding
+    exactly.
     """
     out = []
-    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    ntap = 2 * radius + 1
     for i, corr in enumerate(pyramid):
         w2 = corr.shape[-1]
-        x = coords_x[..., None] / (2 ** i) + dx                 # (B,H,W1,2r+1)
+        x = coords_x / (2 ** i)                                 # (B,H,W1)
         x0 = jnp.floor(x)
-        t = x - x0
-        i0 = jnp.clip(x0.astype(jnp.int32), 0, w2 - 1)
-        i1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w2 - 1)
-        v0 = jnp.take_along_axis(corr, i0, axis=-1)
-        v1 = jnp.take_along_axis(corr, i1, axis=-1)
-        # grid_sample zero padding: a tap contributes only while its source
-        # index is in range (matches torch's zeros padding_mode exactly for
-        # bilinear weights).
-        in0 = (x0 >= 0) & (x0 <= w2 - 1)
-        in1 = (x0 + 1 >= 0) & (x0 + 1 <= w2 - 1)
-        val = jnp.where(in0, v0 * (1.0 - t), 0.0) + jnp.where(in1, v1 * t, 0.0)
+        t = (x - x0)[..., None]                                 # (B,H,W1,1)
+        # Relative window index of every w2 column: r_rel == k selects the
+        # tap at x0 + (k - radius).
+        iota = jnp.arange(w2, dtype=jnp.float32)
+        r_rel = iota[None, None, None, :] - x0[..., None]       # (B,H,W1,W2)
+        v = jnp.stack(
+            [jnp.sum(jnp.where(r_rel == (k - radius), corr, 0.0), axis=-1)
+             for k in range(ntap + 1)], axis=-1)                # (B,H,W1,2r+2)
+        val = v[..., :ntap] * (1.0 - t) + v[..., 1:] * t
         out.append(val)
     return jnp.concatenate(out, axis=-1)

@@ -7,6 +7,7 @@ is a mechanical name/layout map. Convs carry kernels in HWIO layout.
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 import jax
@@ -14,6 +15,36 @@ import jax.numpy as jnp
 import numpy as np
 
 f32 = jnp.float32
+
+# Matmul-class mixed precision — the TPU analog of the reference's CUDA
+# autocast (gs2mesh runs DLNR with mixed_precision=True, stereo_utils.py:55;
+# torch autocast executes convs/matmuls in fp16 and everything else in
+# fp32). When set to a dtype, conv/einsum OPERANDS round to it while
+# accumulation and every surrounding op (norms, activations, softmax,
+# bilinear sampling) stay f32. Default None: XLA's DEFAULT TPU precision
+# already executes f32 convs/matmuls as single-pass bf16 on the MXU, so an
+# explicit bf16 policy measures NEUTRAL on v5e (768 vs 773 ms/view) while
+# adding rounding — there is nothing left to win on the matmul axis.
+# Changing the value only affects subsequently TRACED functions.
+MATMUL_DTYPE = None
+
+
+@contextlib.contextmanager
+def matmul_dtype(dtype):
+    """Temporarily override the matmul-class compute dtype (None = f32)."""
+    global MATMUL_DTYPE
+    prev = MATMUL_DTYPE
+    MATMUL_DTYPE = dtype
+    try:
+        yield
+    finally:
+        MATMUL_DTYPE = prev
+
+
+def _mm_operands(x, w):
+    if MATMUL_DTYPE is None:
+        return x, w
+    return x.astype(MATMUL_DTYPE), w.astype(MATMUL_DTYPE)
 
 
 # ---------------------------------------------------------------- conv cores
@@ -26,10 +57,12 @@ def conv2d(x, p, stride=1, padding="SAME", dilation=1, groups=1):
         dilation = (dilation, dilation)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    xc, wc = _mm_operands(x, p["w"])
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=stride, padding=padding,
+        xc, wc, window_strides=stride, padding=padding,
         rhs_dilation=dilation, feature_group_count=groups,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=f32)
     if p.get("b") is not None:
         y = y + p["b"]
     return y
@@ -39,10 +72,12 @@ def conv_transpose_2x(x, p):
     """Equivalent of torch ConvTranspose2d(k=4, s=2, p=1), expressed as an
     input-dilated conv. `p['w']` is ALREADY the spatially-flipped, IO-swapped
     kernel in HWIO (done once at conversion time)."""
+    xc, wc = _mm_operands(x, p["w"])
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        xc, wc, window_strides=(1, 1), padding=((2, 2), (2, 2)),
         lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=f32)
     if p.get("b") is not None:
         y = y + p["b"]
     return y
@@ -122,9 +157,12 @@ def channel_attention(x, p, num_heads):
     q, k, v = heads(q), heads(k), heads(v)
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
-    attn = jnp.einsum("bhcn,bhdn->bhcd", q, k) * p["temperature"][:, :, :]
+    qc, kc = _mm_operands(q, k)
+    attn = jnp.einsum("bhcn,bhdn->bhcd", qc, kc,
+                      preferred_element_type=f32) * p["temperature"][:, :, :]
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhcd,bhdn->bhcn", attn, v)
+    ac, vc = _mm_operands(attn, v)
+    out = jnp.einsum("bhcd,bhdn->bhcn", ac, vc, preferred_element_type=f32)
     out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
     return conv2d(out, p["project_out"], padding=0)
 

@@ -8,11 +8,14 @@ from gs2mesh_tpu.stereo.dlnr import upsample_flow
 
 
 def test_corr_pyramid_and_lookup_match_naive():
+    from gs2mesh_tpu.stereo.layers import matmul_dtype
+
     rng = np.random.default_rng(0)
     B, H, W, D = 1, 4, 16, 8
     f1 = jnp.asarray(rng.normal(size=(B, H, W, D)).astype(np.float32))
     f2 = jnp.asarray(rng.normal(size=(B, H, W, D)).astype(np.float32))
-    pyr = build_corr_pyramid(f1, f2, num_levels=2)
+    with matmul_dtype(None):      # exact-math check of the volume structure
+        pyr = build_corr_pyramid(f1, f2, num_levels=2)
 
     naive = np.einsum("bhwd,bhvd->bhwv", np.asarray(f1), np.asarray(f2))
     naive /= np.sqrt(D)
@@ -69,3 +72,32 @@ def test_dlnr_forward_shapes_and_warm_start():
         params, img1, img2, flow_low)
     assert bool(jnp.isfinite(disp2).all())
     assert not np.allclose(np.asarray(disp), np.asarray(disp2))
+
+
+def test_dlnr_bf16_matmul_policy_close_to_f32():
+    """The production default runs conv/einsum operands in bf16 (the TPU
+    analog of the reference's autocast mixed precision, stereo_utils.py:55).
+    Disparity must stay close to the full-f32 path."""
+    from gs2mesh_tpu.stereo.layers import matmul_dtype
+
+    params = init_dlnr_params(seed=0)
+    rng = np.random.default_rng(4)
+    H, W = 64, 96
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 3, H, W)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 3, H, W)).astype(np.float32))
+    cfg = DLNRConfig(iters=2)
+
+    with matmul_dtype(None):
+        _, disp_f32 = jax.jit(
+            lambda p, a, b: dlnr_forward(p, a, b, cfg))(params, img1, img2)
+    with matmul_dtype(jnp.bfloat16):
+        _, disp_bf16 = jax.jit(
+            lambda p, a, b: dlnr_forward(p, a, b, cfg))(params, img1, img2)
+
+    a, b = np.asarray(disp_f32), np.asarray(disp_bf16)
+    assert np.isfinite(b).all()
+    # Random-weight disparities live in sub-pixel range here; the recurrent
+    # bf16 accumulation noise must stay well under a pixel.
+    scale = max(np.abs(a).max(), 1e-3)
+    assert np.abs(a - b).max() / scale < 0.15, (
+        np.abs(a - b).max(), scale)

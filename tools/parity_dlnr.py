@@ -61,10 +61,14 @@ def main():
 
     params = convert_torch_state_dict(model.state_dict())
     cfg = DLNRConfig(iters=iters)
-    flow_low_j, disp_j = jax.jit(
-        lambda p, a, b: dlnr_forward(p, a, b, cfg))(params,
-                                                    jnp.asarray(img1),
-                                                    jnp.asarray(img2))
+    # Parity pins full f32 (the torch reference above runs f32 on CPU; the
+    # production default is the bf16 matmul policy, validated separately).
+    from gs2mesh_tpu.stereo.layers import matmul_dtype
+    with matmul_dtype(None):
+        flow_low_j, disp_j = jax.jit(
+            lambda p, a, b: dlnr_forward(p, a, b, cfg))(params,
+                                                        jnp.asarray(img1),
+                                                        jnp.asarray(img2))
     flow_low_j = np.asarray(flow_low_j)
     disp_j = np.asarray(disp_j)
 
