@@ -227,30 +227,46 @@ def conv2x(x, rem, p, *, deconv=False):
 
 def avg_pool_2x(x):
     """F.avg_pool2d(x, 3, stride=2, padding=1) with count_include_pad=True
-    (torch default), matching update.py:111-112."""
-    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1),
-                              (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return s / 9.0
+    (torch default), matching update.py:111-112.
+
+    Expressed as two axis-shift 3-sums + a stride-2 slice: plain fused VPU
+    adds (lax.reduce_window lowers ~100x slower on v5e at these shapes)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    sy = xp[:, :-2] + xp[:, 1:-1] + xp[:, 2:]
+    s = sy[:, :, :-2] + sy[:, :, 1:-1] + sy[:, :, 2:]
+    return s[:, ::2, ::2] / 9.0
+
+
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear weights, align_corners=True (static)."""
+    pos = np.linspace(0.0, n_in - 1.0, n_out)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    t = (pos - i0).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), i0] += 1.0 - t
+    M[np.arange(n_out), i1] += t
+    return M
 
 
 def interp_bilinear(x, out_h, out_w):
-    """F.interpolate(mode='bilinear', align_corners=True)."""
+    """F.interpolate(mode='bilinear', align_corners=True).
+
+    Bilinear resampling is separable with STATIC weights, so it runs as two
+    dense matmuls against (out, in) interpolation matrices on the MXU —
+    the per-element gather formulation costs ~5.5 ms at (72,120,128)->2x
+    on v5e; the matmuls are ~100x cheaper."""
     b, h, w, c = x.shape
     if h == out_h and w == out_w:
         return x
-    ys = jnp.linspace(0.0, h - 1.0, out_h)
-    xs = jnp.linspace(0.0, w - 1.0, out_w)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0).astype(x.dtype)
-    wx = (xs - x0).astype(x.dtype)
-    top = x[:, y0][:, :, x0] * (1 - wx)[None, None, :, None] \
-        + x[:, y0][:, :, x1] * wx[None, None, :, None]
-    bot = x[:, y1][:, :, x0] * (1 - wx)[None, None, :, None] \
-        + x[:, y1][:, :, x1] * wx[None, None, :, None]
-    return top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+    Wy = jnp.asarray(_interp_matrix(h, out_h), x.dtype)
+    Wx = jnp.asarray(_interp_matrix(w, out_w), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", Wy, x,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,bowc->bopc", Wx, y,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ----------------------------------------------------------------- params

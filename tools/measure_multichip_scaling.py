@@ -50,8 +50,11 @@ def main():
             capacity=-(-n_gauss // G) * G)
         tx = make_optimizer(cfg, model.spatial_lr_scale)
         opt_state = tx.init(model.params)
-        rcfg = RasterizerConfig(pair_capacity=1 << (18 - min(G.bit_length(
-            ) - 1, 2)))   # shrink per-slice capacity as G grows
+        # Per-SLICE capacity: tile-row slices are load-imbalanced on this
+        # center-heavy scene, so halve only once as G grows.
+        rcfg = RasterizerConfig(
+            pair_capacity={1: 1 << 18, 2: 1 << 18, 4: 1 << 17,
+                           8: 1 << 17}[G])
         step = make_sharded_train_step(
             mesh, tx, model.capacity, cam, cfg, rcfg, sh_degree=0,
             impl="xla", max_per_tile=1024)
