@@ -90,8 +90,11 @@ def main():
         "metric": "tile_sharded_compositing_work_scaling",
         "scene": "100k uniform gaussians, 256x256, 8-device CPU mesh",
         "rows": rows,
-        "losses_agree": bool(max(abs(r["loss"] - rows[0]["loss"])
-                                 for r in rows) < 1e-4),
+        "note": ("losses vary ~1e-3 across G: the CPU XLA fallback "
+                 "compositor truncates at max_per_tile and the truncation "
+                 "set differs per slice layout; the production Pallas path "
+                 "has no cap (bit-exact sharded-vs-single on hardware, "
+                 "tools/hwcheck_sharded.py)"),
     }
     path = os.path.join(os.path.dirname(__file__), "..",
                         "MULTICHIP_SCALING.json")
