@@ -27,7 +27,7 @@ def timeit(name, f, *a, n=5):
 def main():
     n, W, H = 300_000, 960, 576
     args, cam = _scene(n, W, H)
-    cfg = RasterizerConfig(pair_capacity=2_752_512)
+    cfg = RasterizerConfig(pair_capacity=2_621_440)
     gx, gy = cfg.grid_size(W, H)
 
     prep_f = jax.jit(lambda *a: pp.preprocess(*a, cam, 0, cfg=cfg))
