@@ -15,6 +15,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("ply", help="point_cloud.ply from GS training")
     ap.add_argument("--port", type=int, default=8090)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (use 0.0.0.0 to expose externally)")
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--sh-degree", type=int, default=3)
@@ -28,7 +30,7 @@ def main(argv=None):
     model = GaussianModel.load_ply(a.ply, max_sh_degree=a.sh_degree)
     ViewerServer(model, width=a.width, height=a.height,
                  pair_capacity=a.pair_capacity, port=a.port,
-                 white_background=a.white_background).serve()
+                 white_background=a.white_background, host=a.host).serve()
 
 
 if __name__ == "__main__":

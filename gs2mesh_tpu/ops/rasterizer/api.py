@@ -28,7 +28,12 @@ class RasterizeOutput(NamedTuple):
     final_T: jnp.ndarray    # (H, W) residual transmittance
     radii: jnp.ndarray      # (N,) int32 (0 = culled)
     num_pairs: jnp.ndarray  # () int32 true pair count (capacity telemetry)
-    overflow: jnp.ndarray   # () bool
+    overflow: jnp.ndarray   # () bool — pair_capacity exceeded
+    # () bool — a tile exceeded the XLA fallback compositor's static
+    # max_per_tile bound and its deepest pairs were dropped (the Pallas path
+    # streams every pair and never sets this). Like `overflow`, callers must
+    # react (raise max_per_tile) — truncation is reported, never silent.
+    tile_overflow: jnp.ndarray
 
 
 def rasterize(means3d: jnp.ndarray,
@@ -79,9 +84,11 @@ def rasterize(means3d: jnp.ndarray,
         from gs2mesh_tpu.ops.rasterizer.pallas_kernels import render_tiles_pallas
         color_t, T_t = render_tiles_pallas(
             pair_feat, starts, counts, gx, gy, cfg)
+        tile_overflow = jnp.zeros((), bool)
     elif impl == "xla":
         color_t, T_t = tile_render.render_tiles_xla(
             pair_feat, starts, counts, gx, gy, cfg, max_per_tile)
+        tile_overflow = jnp.any(counts > max_per_tile)
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
@@ -90,4 +97,5 @@ def rasterize(means3d: jnp.ndarray,
     image = color + final_T[None] * bg[:, None, None]
     return RasterizeOutput(image=image, final_T=final_T, radii=prep.radius,
                            num_pairs=aux.num_pairs,
-                           overflow=aux.overflow)
+                           overflow=aux.overflow,
+                           tile_overflow=tile_overflow)

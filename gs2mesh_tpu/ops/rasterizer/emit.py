@@ -362,7 +362,10 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
         C = K // 128
         W = 192
         nb64 = nb128 * 2
-        eo = ctable[:, 1]                                  # (nb128*128,) f32
+        # Materialize the offset column ONCE: without the barrier XLA fuses
+        # this strided column extraction into every bisect round's gather
+        # (~5 ms at K=2.6M on v5e; ~0.05 ms from a contiguous buffer).
+        eo = jax.lax.optimization_barrier(ctable[:, 1])    # (nb128*128,) f32
         chunk0 = (jnp.arange(C, dtype=i32) * 128).astype(f32)
         r_start = _bisect_right(eo, chunk0) - 1
         blk = jnp.clip(jnp.maximum(r_start, 0) // 64, 0, nb64 - 3)  # (C,)
@@ -543,58 +546,82 @@ def unstuff_ids(ux: jnp.ndarray, uy: jnp.ndarray):
 # Per-gaussian cotangent reduction (the backward of the feature carry).
 # ---------------------------------------------------------------------------
 
-SPAN = 16  # chunks fetched per DMA (amortizes DMA issue latency)
+SPAN = 8   # chunks fetched per DMA (covers a typical block in one span)
+NBB = 8    # gaussian blocks reduced per grid step (amortizes the per-step
+           # overhead that dominated the one-block-per-step layout: ~5.7us
+           # per step of ~1us of work, measured on v5e)
 IDCOL = FEAT - 1  # gaussian ids ride the spare last feature column
                   # (bitcast i32) so each span needs ONE DMA stream
 
 
 def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
-                   ctbuf, sems, *, chunk: int):
+                   ctbuf, sems, *, chunk: int, nb_total: int):
     """Per-128-Gaussian-block segmented sum via one-hot matmuls.
 
-    Each block's id-sorted cotangent chunks are streamed in double-buffered
-    SPAN-chunk DMAs; every sub-chunk contributes one (pair, gauss) one-hot x
-    (pair, FEAT) MXU matmul. Boundary chunks shared between adjacent blocks
-    are visited by both; the one-hot comparison against the block's own
-    gaussian ids (riding feature row IDCOL) keeps the contributions
-    disjoint."""
-    b = pl.program_id(0)
-    g0 = b * chunk
-    nc = nc_ref[b]
-    c0 = c0_ref[b]
-    nspans = (nc + SPAN - 1) // SPAN
+    NBB blocks per grid step. Block b's id-sorted cotangent chunks stream
+    through slot b % (NBB+1); its FIRST span is prefetched while the
+    PREVIOUS block computes (cross-block pipelining — consecutive blocks use
+    distinct slots so the prefetch never collides), and the rare extra spans
+    (nc > SPAN) reload the same slot inline. Every issued DMA is waited
+    exactly once (empty blocks still wait their prefetched span). Boundary
+    chunks shared between adjacent blocks are visited by both; the one-hot
+    comparison against the block's own gaussian ids (riding feature row
+    IDCOL) keeps the contributions disjoint."""
+    s = pl.program_id(0)
+    nslots = NBB + 1
 
-    gcol = g0 + jax.lax.broadcasted_iota(i32, (1, chunk), 1)  # (1, chunk)
-
-    def dma(slot, si):
+    def dma(b, si):
+        slot = jax.lax.rem(b, nslots)
         return pltpu.make_async_copy(
-            ct_hbm.at[pl.ds(c0 + si * SPAN, SPAN)], ctbuf.at[slot],
+            ct_hbm.at[pl.ds(c0_ref[b] + si * SPAN, SPAN)], ctbuf.at[slot],
             sems.at[slot])
 
-    @pl.when(nspans > 0)
+    @pl.when(s == 0)
     def _():
         dma(0, 0).start()
 
-    def body(si, acc):
-        slot = jax.lax.rem(si, 2)
+    for bi in range(NBB):
+        b = s * NBB + bi
+        slot = jax.lax.rem(b, nslots)
+        nc = nc_ref[b]
+        g0 = b * chunk
+        gcol = g0 + jax.lax.broadcasted_iota(i32, (1, chunk), 1)
 
-        @pl.when(si + 1 < nspans)
+        # Prefetch the NEXT block's first span before this block's compute.
+        @pl.when(b + 1 < nb_total)
         def _():
-            dma(1 - slot, si + 1).start()
+            dma(b + 1, 0).start()
 
-        dma(slot, si).wait()
-        for j in range(SPAN):
-            live = jnp.where(si * SPAN + j < nc, 1.0, 0.0)
+        dma(b, 0).wait()
+
+        def sub(j, acc, nc=nc, slot=slot, gcol=gcol):
+            live = jnp.where(j < nc, 1.0, 0.0)
             ids = jax.lax.bitcast_convert_type(
                 ctbuf[slot, j, IDCOL:IDCOL + 1, :], i32)   # (1, chunk)
-            onehot = (ids.T == gcol).astype(f32) * live  # (pair, gauss)
-            acc = acc + jax.lax.dot_general(
+            onehot = (ids.T == gcol).astype(f32) * live    # (pair, gauss)
+            return acc + jax.lax.dot_general(
                 onehot, ctbuf[slot, j], (((0,), (1,)), ((), ())),
                 preferred_element_type=f32, precision=HI)  # (gauss, FEAT)
-        return acc
 
-    acc = jax.lax.fori_loop(0, nspans, body, jnp.zeros((chunk, FEAT), f32))
-    out_ref[0] = acc
+        acc = jax.lax.fori_loop(
+            0, jnp.minimum(nc, SPAN), lambda j, a: sub(j, a),
+            jnp.zeros((chunk, FEAT), f32))
+
+        # Rare tail: blocks spanning more than SPAN chunks reload inline.
+        nspans = (nc + SPAN - 1) // SPAN
+
+        def extra(si, acc, b=b, nc=nc, slot=slot, gcol=gcol):
+            d = dma(b, si)
+            d.start()
+            d.wait()
+            lim = jnp.minimum(nc - si * SPAN, SPAN)
+            return jax.lax.fori_loop(
+                0, lim,
+                lambda j, a: sub(j, a, nc=nc - si * SPAN, slot=slot,
+                                 gcol=gcol), acc)
+
+        acc = jax.lax.fori_loop(1, nspans, extra, acc)
+        out_ref[bi] = acc
 
 
 def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
@@ -603,30 +630,35 @@ def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
     IDCOL) -> (n_rows, FEAT)."""
     chunk = cfg.chunk
     NB = block_c0.shape[0]
+    NBp = -(-NB // NBB) * NBB
+    if NBp > NB:          # pad to a whole number of grid steps (nc=0 blocks)
+        pad = NBp - NB
+        block_c0 = jnp.concatenate([block_c0, jnp.zeros((pad,), i32)])
+        block_nc = jnp.concatenate([block_nc, jnp.zeros((pad,), i32)])
     # Tail-pad so a SPAN-sized DMA starting at the last chunk stays in
     # bounds (masked out of the matmuls by the `live` factor).
     ct3d = jnp.concatenate(
         [ct3d, jnp.zeros((SPAN, FEAT, chunk), f32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(NB,),
+        grid=(NBp // NBB,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[pl.BlockSpec((1, chunk, FEAT), lambda b, *_: (b, 0, 0),
+        out_specs=[pl.BlockSpec((NBB, chunk, FEAT), lambda s, *_: (s, 0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[
-            pltpu.VMEM((2, SPAN, FEAT, chunk), f32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBB + 1, SPAN, FEAT, chunk), f32),
+            pltpu.SemaphoreType.DMA((NBB + 1,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, chunk=chunk),
+        functools.partial(_segsum_kernel, chunk=chunk, nb_total=NBp),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NB, chunk, FEAT), f32)],
+        out_shape=[jax.ShapeDtypeStruct((NBp, chunk, FEAT), f32)],
         interpret=jax.default_backend() != "tpu",
     )(block_c0, block_nc, ct3d)[0]
-    out = out.reshape(NB * chunk, FEAT)
+    out = out.reshape(NBp * chunk, FEAT)
     drows = jnp.zeros((n_rows, FEAT), f32)
-    take = min(NB * chunk, n_rows)
+    take = min(NBp * chunk, n_rows)
     return drows.at[:take].set(out[:take])
 
 
@@ -665,7 +697,9 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg):
             jax.lax.stop_gradient(tiles_touched), cfg)
         C = K // 128
         chunk0 = (jnp.arange(C, dtype=i32) * 128).astype(f32)
-        r_start = _bisect_right(ctable[:, 1], chunk0) - 1
+        # Barrier: materialize the offset column once (see emission_core).
+        eo = jax.lax.optimization_barrier(ctable[:, 1])
+        r_start = _bisect_right(eo, chunk0) - 1
         blk = jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
         key, mxs, mys, p1, p2, p3, blue = emission_decode_pallas(
             ctable, blk, num_pairs, width, height, cfg)

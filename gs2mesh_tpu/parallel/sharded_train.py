@@ -69,6 +69,7 @@ class ShardedRender(NamedTuple):
     radii: jnp.ndarray         # (n_local,) shard-local visibility radii
     num_pairs: jnp.ndarray     # () this slice's emission count
     overflow: jnp.ndarray      # () this slice overflowed its capacity
+    tile_overflow: jnp.ndarray  # () a tile exceeded the xla max_per_tile cap
 
 
 def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
@@ -122,9 +123,11 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
         from gs2mesh_tpu.ops.rasterizer.pallas_kernels import render_tiles_pallas
         color_t, T_t = render_tiles_pallas(pair_feat, starts, counts,
                                            gx, rows_per, rcfg)
+        tile_overflow = jnp.zeros((), bool)
     else:
         color_t, T_t = tile_render.render_tiles_xla(
             pair_feat, starts, counts, gx, rows_per, rcfg, max_per_tile)
+        tile_overflow = jnp.any(counts > max_per_tile)
     color, final_T = tile_render.assemble_image(
         color_t, T_t, gx, rows_per, camera.width, h_slice, rcfg.tile)
     image = color + final_T[None] * bg[:, None, None]
@@ -138,7 +141,8 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
 
     return ShardedRender(image_slice=image, row_valid=row_valid,
                          radii=prep_local.radius,
-                         num_pairs=aux.num_pairs, overflow=aux.overflow)
+                         num_pairs=aux.num_pairs, overflow=aux.overflow,
+                         tile_overflow=tile_overflow)
 
 
 HALO = 5  # rows: 11x11 SSIM window half-width
@@ -247,7 +251,8 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
             loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ty0,
                                    cam.height, cam.width, rcfg.tile,
                                    cfg.lambda_dssim, G)
-            return loss, (r.radii, r.num_pairs, r.overflow)
+            return loss, (r.radii, r.num_pairs,
+                          r.overflow | r.tile_overflow)
 
         offs0 = jnp.zeros((n_local, 2), jnp.float32)
         (loss, (radii, num_pairs, overflow)), (grads, ss_grad) = \

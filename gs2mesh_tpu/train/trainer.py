@@ -121,7 +121,8 @@ class StepOutput(NamedTuple):
     loss: jnp.ndarray
     radii: jnp.ndarray
     num_pairs: jnp.ndarray
-    overflow: jnp.ndarray
+    overflow: jnp.ndarray        # pair_capacity exceeded (step was a no-op)
+    tile_overflow: jnp.ndarray   # xla per-tile bound exceeded (also no-op)
 
 
 def render_model(params: GaussianParams, alive: jnp.ndarray, camera: Camera,
@@ -167,7 +168,7 @@ def make_train_step(tx, camera_static: Camera, cfg: TrainConfig,
         (loss, out), (grads, ss_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, offs0)
 
-        state = accumulate_densification_stats(
+        new_state = accumulate_densification_stats(
             state, ss_grad, out.radii, camera.width, camera.height)
 
         # Dead padded rows produce NaN grads (e.g. d/dq of quat-normalize at
@@ -175,14 +176,28 @@ def make_train_step(tx, camera_static: Camera, cfg: TrainConfig,
         # rows and their Adam moments stay exactly at their fill values.
         grads = jax.tree.map(
             lambda g: jnp.where(
-                state.alive.reshape((n,) + (1,) * (g.ndim - 1)), g, 0.0),
+                new_state.alive.reshape((n,) + (1,) * (g.ndim - 1)), g, 0.0),
             grads)
 
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return StepOutput(params=params, opt_state=opt_state, state=state,
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        # A capacity overflow means this render (and so its gradients) was
+        # computed from a truncated pair list. Make the step an exact no-op
+        # so the host loop can grow capacity and redo the iteration — the
+        # TPU static-shape analog of the reference's dynamic buffer growth
+        # (rasterizer_impl.cu:155-194 resizeFunctional).
+        ok = jnp.logical_not(out.overflow | out.tile_overflow)
+
+        def gate(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+        return StepOutput(params=gate(new_params, params),
+                          opt_state=gate(new_opt_state, opt_state),
+                          state=gate(new_state, state),
                           loss=loss, radii=out.radii,
-                          num_pairs=out.num_pairs, overflow=out.overflow)
+                          num_pairs=out.num_pairs, overflow=out.overflow,
+                          tile_overflow=out.tile_overflow)
 
     return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
@@ -255,6 +270,21 @@ class Trainer:
             self.model.active_sh_degree = sh_deg
             self.opt_state = out.opt_state
 
+            # React to rasterizer capacity overflow: the step gated itself
+            # into an exact no-op (see make_train_step), so grow the
+            # overflowed buffer bound (one retrace) and redo this iteration
+            # on the same view — never train on a truncated render.
+            if bool(out.overflow) or bool(out.tile_overflow):
+                if bool(out.overflow):
+                    self.grow_pair_capacity()
+                if bool(out.tile_overflow):
+                    self.max_per_tile *= 2
+                    self._steps.clear()
+                    print(f"[train] max_per_tile -> {self.max_per_tile}")
+                self._view_stack.append(vi)
+                self.iteration -= 1
+                continue
+
             if (cfg.densify_from_iter <= it <= cfg.densify_until_iter
                     and it % cfg.densification_interval == 0):
                 self.densify()
@@ -303,6 +333,21 @@ class Trainer:
         if bool(stats["overflow"]) or n_alive > 0.9 * self.model.capacity:
             self.grow_capacity(self.model.capacity * 2)
         return stats
+
+    def grow_pair_capacity(self):
+        """Double the rasterizer pair capacity after an emission overflow
+        (the reference reallocates its binning buffers on demand,
+        rasterizer_impl.cu:155-194; with static TPU shapes we double and
+        retrace). Capacity stays < 2^24 (f32-exact index carry bound)."""
+        cap = self.rcfg.pair_capacity
+        new = min(cap * 2, (1 << 24) - 2048)
+        if new <= cap:
+            raise RuntimeError(
+                f"pair_capacity {cap} hit the 2^24 index bound; "
+                "reduce image resolution or gaussian count")
+        self.rcfg = dataclasses.replace(self.rcfg, pair_capacity=new)
+        self._steps.clear()
+        print(f"[train] pair_capacity {cap} -> {new}")
 
     def grow_capacity(self, new_capacity: int):
         """Pad params/state/optimizer rows to a larger static capacity

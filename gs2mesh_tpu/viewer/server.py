@@ -109,7 +109,7 @@ class ViewerServer:
 
     def __init__(self, model, width: int = 960, height: int = 540,
                  pair_capacity: int = 1 << 21, port: int = 8090,
-                 white_background: bool = False):
+                 white_background: bool = False, host: str = "127.0.0.1"):
         import jax
         import jax.numpy as jnp
 
@@ -118,6 +118,9 @@ class ViewerServer:
 
         self.width, self.height = int(width), int(height)
         self.port = port
+        # Loopback by default: the render endpoint drives the accelerator,
+        # so external exposure must be an explicit opt-in (host="0.0.0.0").
+        self.host = host
         rcfg = RasterizerConfig(pair_capacity=pair_capacity)
         bg = jnp.ones(3, jnp.float32) if white_background \
             else jnp.zeros(3, jnp.float32)
@@ -186,8 +189,12 @@ class ViewerServer:
                         "target": viewer.target.tolist(),
                         "radius": viewer.radius}).encode())
                 elif u.path == "/render":
-                    q = {k: float(v[0])
-                         for k, v in parse_qs(u.query).items()}
+                    try:
+                        q = {k: float(v[0])
+                             for k, v in parse_qs(u.query).items()}
+                    except (ValueError, TypeError):
+                        self._send(400, "text/plain", b"bad query param")
+                        return
                     png = viewer.render_png(
                         q.get("az", 0.0), q.get("el", 15.0),
                         q.get("r", viewer.radius),
@@ -203,7 +210,7 @@ class ViewerServer:
 
     def start(self):
         """Start serving on a background thread; returns the bound port."""
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", self.port),
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
                                           self._handler())
         self.port = self._httpd.server_address[1]
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)

@@ -3,7 +3,6 @@ Pallas emission decode and the compacted id-sorted cotangent reduction.
 These are the production TPU code paths that the regular CPU test suite
 would otherwise never execute."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -65,8 +64,9 @@ def test_pallas_decode_matches_xla_emission():
 
 def test_bwd_compaction_matches_scatter():
     """_emit_bwd_tpu (compaction + id sort + MXU segment sum) must agree
-    with a plain scatter-add, both when the live chunks fit the compaction
-    capacity and when they overflow into the full-size fallback."""
+    with a plain scatter-add. (At this tiny KC the 256-chunk compaction
+    floor always selects the full-size path; both cond branches are
+    exercised explicitly by test_bwd_compaction_branches.)"""
     rng = np.random.default_rng(0)
     chunk = 128
     KC = 24
@@ -83,17 +83,10 @@ def test_bwd_compaction_matches_scatter():
     ref = np.zeros((n_rows, FEAT), np.float32)
     np.add.at(ref, ids, flat)
 
-    for frac in (0.5, 0.1):   # 0.5: fits (8 <= 12); 0.1: fallback path
-        cfg = dataclasses.replace(
-            RasterizerConfig(pair_capacity=K, grad_carry_bf16=False),
-            bwd_compact_frac=frac)
-        # cap = max(256, KC*frac) >= KC here because KC is tiny; shrink the
-        # floor by calling through a config with a small capacity is not
-        # possible — instead exercise both branches via the cond predicate:
-        # frac only matters when cap < KC, so patch cap through chunks.
-        drows = np.asarray(_emit_bwd_tpu(jnp.asarray(ct), jnp.asarray(ids),
-                                         n_rows, cfg))
-        np.testing.assert_allclose(drows, ref, rtol=1e-6, atol=1e-6)
+    cfg = RasterizerConfig(pair_capacity=K, grad_carry_bf16=False)
+    drows = np.asarray(_emit_bwd_tpu(jnp.asarray(ct), jnp.asarray(ids),
+                                     n_rows, cfg))
+    np.testing.assert_allclose(drows, ref, rtol=1e-6, atol=1e-6)
 
 
 def test_bwd_compaction_branches():
