@@ -45,6 +45,13 @@ class RasterizerConfig:
     # tie order is visually and statistically immaterial). Exact-carry mode
     # (feat_carry_bf16=False) always sorts stable.
     sort_stable: bool = False
+    # Tile-row stride for sharded emission (parallel/sharded_train.py).
+    # Local tile row l maps to global tile row  row_offset + l*row_stride:
+    # stride G with offset = device index gives round-robin (interleaved)
+    # row ownership, which balances per-device pair counts on center-heavy
+    # scenes (contiguous bands give middle devices several times the edge
+    # devices' load). 1 = identity (single chip).
+    row_stride: int = 1
     # Backward cotangent compaction: chunks whose cotangents are exactly
     # zero (early-termination zero-fill) are dropped before the per-gaussian
     # reduction sort. Static capacity as a fraction of pair chunks; when the

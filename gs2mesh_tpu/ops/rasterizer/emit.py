@@ -206,6 +206,11 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
     dma_w(slot, sc).wait()
 
     npairs = np_ref[0]
+    # Global tile row = row_offset + local_row * row_stride (strided slice
+    # ownership, see config.row_stride); y geometry below must use GLOBAL
+    # rows while the sort key keeps the LOCAL tile id.
+    row_off_f = np_ref[1].astype(f32)
+    stride_f = f32(cfg.row_stride)
     lane = jax.lax.broadcasted_iota(i32, (1, 128), 1)
     sub = jax.lax.broadcasted_iota(i32, (128, 1), 0)
     tile_f = f32(tile)
@@ -244,9 +249,10 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
         tyf = y0 + q
 
         # Exact alpha-cut pair cull (see emission_core for the derivation).
+        tyg = row_off_f + tyf * stride_f                   # global tile row
         x_lo = txf * tile_f - mx
         x_hi = x_lo + (tile_f - 1.0)
-        y_lo = tyf * tile_f - my
+        y_lo = tyg * tile_f - my
         y_hi = y_lo + (tile_f - 1.0)
 
         def qval(dx, dy):
@@ -274,9 +280,15 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
         key = (tile_id.astype(u32) << (32 - tb)) | dbits
 
         # Tile-local means with the gaussian id riding the low mantissa bits.
-        idu = rid.astype(i32).astype(u32)
+        # Dead slots (beyond num_pairs) carry the 2^22-1 sentinel id exactly
+        # like the XLA path, so the backward never attributes a cotangent to
+        # a real gaussian even if a compositor change stopped zero-filling
+        # dead-slot cotangents. (Alpha-culled pairs keep their real id; the
+        # sentinel tile routes them past every render kernel.)
+        idu = jnp.where(valid, rid.astype(i32).astype(u32),
+                        u32((1 << 22) - 1))
         mxl = mx - txf * tile_f
-        myl = my - tyf * tile_f
+        myl = my - tyg * tile_f
         ux = ((jax.lax.bitcast_convert_type(mxl, u32) & u32(IDKEEP))
               | (idu & u32(IDMASK)))
         uy = ((jax.lax.bitcast_convert_type(myl, u32) & u32(IDKEEP))
@@ -292,7 +304,7 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
 
 
 def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
-                           cfg: RasterizerConfig):
+                           cfg: RasterizerConfig, row_offset=0):
     """TPU decode: returns (key, mxs, mys, p1, p2, p3, blue) flat (K,)
     arrays ready to be sort payload (packed-carry layout)."""
     K = cfg.pair_capacity
@@ -325,7 +337,8 @@ def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
         out_shape=[jax.ShapeDtypeStruct((C, 128), u32)] * 6
         + [jax.ShapeDtypeStruct((C, 128), f32)],
         interpret=jax.default_backend() != "tpu",
-    )(blk, num_pairs.reshape(1).astype(i32), ctab_T)
+    )(blk, jnp.stack([jnp.asarray(num_pairs, i32).reshape(()),
+                      jnp.asarray(row_offset, i32).reshape(())]), ctab_T)
     return tuple(o.reshape(K) for o in outs)
 
 
@@ -335,12 +348,15 @@ def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
 
 
 def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
-                  cfg: RasterizerConfig) -> Emission:
+                  cfg: RasterizerConfig, row_offset=0) -> Emission:
     """Emission-order slot decode + alpha-cut cull + packed sort key (XLA).
 
     feat9: (N, 9) per-gaussian feature rows [mx, my, ca, cb, cc, op, r, g, b]
     with GLOBAL pixel means; the returned feat9 carries TILE-LOCAL means.
     All inputs are treated as constants (stop_gradient applied here).
+    `rect` rows are LOCAL tile rows; local row l is global row
+    row_offset + l*cfg.row_stride (strided slice ownership) — y geometry
+    uses global rows, keys/tile ids stay local.
     """
     K = cfg.pair_capacity
     gx, gy = cfg.grid_size(width, height)
@@ -408,9 +424,10 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
     ca, cb, cc = dec[:, 8], dec[:, 9], dec[:, 10]
     op = dec[:, 11]
     t = cfg.tile
+    tyg = (jnp.asarray(row_offset, i32) + ty * cfg.row_stride).astype(f32)
     x_lo = tx.astype(f32) * t - mx
     x_hi = x_lo + (t - 1)
-    y_lo = ty.astype(f32) * t - my
+    y_lo = tyg * t - my
     y_hi = y_lo + (t - 1)
 
     def qval(dx, dy):
@@ -435,9 +452,11 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
 
     # Single packed u32 key: [tile_id | depth-msbs]. Positive-f32 bit
     # patterns are monotone as unsigned ints, so dropping the low `tb` bits
-    # keeps a (quantized) depth order; quantization ties resolve to the
-    # stable emission order when the sort is stable (cfg.sort_stable),
-    # matching the reference's stable radix sort.
+    # keeps a (quantized) depth order. Quantization ties resolve to the
+    # stable emission order (matching the reference's stable radix sort)
+    # only when the sort is stable — cfg.sort_stable=True, or the exact
+    # f32-carry mode; the shipped default (sort_stable=False) lets ties
+    # resolve arbitrarily for speed (see config.py for the rationale).
     tb = int(num_tiles + 1).bit_length()                   # static
     dbits = jax.lax.bitcast_convert_type(depth_of_slot, u32) >> tb
     key = (tile_id.astype(u32) << (32 - tb)) | dbits
@@ -448,7 +467,7 @@ def emission_core(feat9, depths, rect, tiles_touched, width: int, height: int,
     # backward moment math) works in tile-local coordinates.
     feat9_local = jnp.concatenate([
         (mx - tx.astype(f32) * t)[:, None],
-        (my - ty.astype(f32) * t)[:, None],
+        (my - tyg * t)[:, None],
         dec[:, 8:15],
     ], axis=1)
 
@@ -669,11 +688,14 @@ def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def emit_sorted_pairs(feat9, depths, rect, tiles_touched,
-                      width: int, height: int, cfg: RasterizerConfig):
+                      width: int, height: int, cfg: RasterizerConfig,
+                      row_offset=0):
     """feat9 (N, 9) per-gaussian features -> ((K/chunk, FEAT, chunk) sorted
     pair features with TILE-LOCAL means, EmitAux). Differentiable w.r.t.
-    feat9 only."""
-    out, _ = _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg)
+    feat9 only. `row_offset` (with cfg.row_stride) maps local tile rows to
+    global rows for strided slice ownership (sharded_train.py)."""
+    out, _ = _emit_fwd(feat9, depths, rect, tiles_touched, width, height,
+                       cfg, row_offset)
     return out
 
 
@@ -683,7 +705,8 @@ def _use_pallas_decode(cfg: RasterizerConfig) -> bool:
             and cfg.pair_capacity % (128 * DEC_S) == 0)
 
 
-def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg):
+def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg,
+              row_offset=0):
     K = cfg.pair_capacity
     chunk = cfg.chunk
     gx, gy = cfg.grid_size(width, height)
@@ -702,11 +725,11 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg):
         r_start = _bisect_right(eo, chunk0) - 1
         blk = jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
         key, mxs, mys, p1, p2, p3, blue = emission_decode_pallas(
-            ctable, blk, num_pairs, width, height, cfg)
+            ctable, blk, num_pairs, width, height, cfg, row_offset)
         payload = (mxs, mys, p1, p2, p3, blue)
     else:
         em = emission_core(feat9, depths, rect, tiles_touched, width, height,
-                           cfg)
+                           cfg, row_offset)
         key, num_pairs, overflow = em.key, em.num_pairs, em.overflow
         ids = jnp.where(em.slot_valid, em.g, (1 << 22) - 1)
         if cfg.feat_carry_bf16:
@@ -827,7 +850,7 @@ def _emit_bwd(width, height, cfg, res, cot):
                          ids_sorted, n_rows)
         drows = jnp.zeros((n_rows, FEAT), f32).at[safe].add(
             flat, mode="drop")
-    return (drows[:, :NCOLS], None, None, None)
+    return (drows[:, :NCOLS], None, None, None, None)
 
 
 emit_sorted_pairs.defvjp(lambda *a: _emit_fwd(*a), _emit_bwd)

@@ -10,17 +10,20 @@ shard_map design (all collectives ride the mesh's ICI axes):
     so backward returns shard-local parameter gradients with no atomics.
   * THE HOT PATH IS TILE-SHARDED: the same ``gauss``-axis devices double as
     framebuffer-slice owners. Device i emits, sorts and composites ONLY the
-    pairs whose tiles fall in its horizontal slice of the tile grid (rect
-    rows clipped to the slice before emission), so binning + sorting +
-    compositing all do ~1/G of the single-chip work per device — the
-    all_gather of the compact N-row table is the only replicated cost,
-    amortized at N (not at pair count K). This replaces round 1's design
-    that replicated binning+compositing on every device.
-  * The loss is computed on the image slices in place: L1 as a masked
-    psum-reduced sum, SSIM with a 5-pixel-row halo exchange between
-    neighboring slices (`ppermute`) so every 11x11 window sees true pixels —
-    bitwise the same loss as single-chip (image edges keep the same zero
-    padding the unsharded conv uses).
+    pairs whose tiles fall in its STRIDED (round-robin) set of tile rows —
+    global tile row r belongs to device r mod G (rect rows clipped before
+    emission; the emission kernels map local rows back to global geometry
+    via ``RasterizerConfig.row_stride``). Binning + sorting + compositing
+    all do ~1/G of the single-chip work per device, and striding keeps the
+    shares balanced on center-heavy scenes where contiguous bands gave the
+    middle devices several times the edge load. The all_gather of the
+    compact N-row table is the only replicated cost, amortized at N (not at
+    pair count K).
+  * The loss is computed on the interleaved slices in place: L1 as a masked
+    psum-reduced sum, SSIM with a per-tile-row 5-pixel halo exchange around
+    the device ring (`ppermute`) so every 11x11 window sees true pixels —
+    the same loss as single-chip (image edges keep the same zero padding
+    the unsharded conv uses).
   * Each ``data`` row renders a different camera view; gradients are
     psum-averaged across ``data``.
   * Densification statistics are psum/pmax-reduced across ``data`` so the
@@ -34,7 +37,7 @@ The reference has no equivalent — it is single-GPU only (SURVEY.md §2f).
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 from typing import Any, NamedTuple
 
 import jax
@@ -47,7 +50,7 @@ from gs2mesh_tpu.models.gaussians import (GaussianModel, GaussianParams,
 from gs2mesh_tpu.ops.rasterizer import RasterizerConfig
 from gs2mesh_tpu.ops.rasterizer.preprocess import Preprocessed, preprocess
 from gs2mesh_tpu.ops.rasterizer import tile_render
-from gs2mesh_tpu.ops.ssim import _filter2d, _gaussian_window
+from gs2mesh_tpu.ops.ssim import _gaussian_window
 from gs2mesh_tpu.train.trainer import TrainConfig
 from gs2mesh_tpu.ops.ssim import gs_loss  # noqa: F401  (re-export for tests)
 
@@ -95,19 +98,23 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
     gx, gy = rcfg.grid_size(camera.width, camera.height)
     rows_per = -(-gy // G)                       # tile rows per device
     h_slice = rows_per * rcfg.tile
-    ty0 = ax * rows_per                          # first tile row owned
 
-    # Clip each gaussian's tile rect rows to this device's slice; emission
-    # then enumerates ONLY the pairs this device composites. All slice work
-    # runs in SLICE-LOCAL pixel coordinates, so shift the gathered means by
-    # the slice origin (a pure translation: gradient-transparent, and the
-    # emission cull + tile compositors see consistent coords).
-    yshift = (ty0 * rcfg.tile).astype(jnp.float32)
-    prep = prep._replace(
-        means2d=prep.means2d - jnp.array([0.0, 1.0], jnp.float32) * yshift)
+    # STRIDED (round-robin) tile-row ownership: device ax owns global tile
+    # rows {ax + l*G}. Contiguous bands concentrate center-heavy scenes on
+    # the middle devices (4.4x edge-device load measured at G=8); striding
+    # interleaves every device through the whole image so per-device pair
+    # counts track the mean. Clip each gaussian's global rect rows [y0, y1)
+    # to the local indices it owns:  l in [ceil((y0-ax)/G), floor((y1-1-ax)/G)].
+    # The emission kernel maps local rows back to global via
+    # (cfg.row_stride, row_offset=ax) so the alpha cull + tile-local means
+    # use true global y geometry while keys stay slice-local.
+    assert rcfg.row_stride == 1, \
+        "pass a base config; rasterize_sharded applies the stride itself"
+    rcfg_s = dataclasses.replace(rcfg, row_stride=G)
     rect = prep.rect
-    y0l = jnp.clip(rect[:, 1] - ty0, 0, rows_per)
-    y1l = jnp.clip(rect[:, 3] - ty0, 0, rows_per)
+    y0l = jnp.clip(-((ax - rect[:, 1]) // G), 0, rows_per)
+    y1l = jnp.clip((rect[:, 3] - 1 - ax) // G + 1, 0, rows_per)
+    y1l = jnp.maximum(y0l, y1l)
     rect_loc = jnp.stack([rect[:, 0], y0l, rect[:, 2], y1l], axis=1)
     tiles_loc = jnp.where(prep.tiles_touched > 0,
                           (rect[:, 2] - rect[:, 0]) * (y1l - y0l), 0)
@@ -115,7 +122,7 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
     from gs2mesh_tpu.ops.rasterizer.emit import build_feat9, emit_sorted_pairs
     pair_feat, aux = emit_sorted_pairs(
         build_feat9(prep), prep.depths, rect_loc, tiles_loc,
-        camera.width, h_slice, rcfg)
+        camera.width, h_slice, rcfg_s, ax)
     pair_feat, starts, counts = jax.lax.optimization_barrier(
         (pair_feat, aux.tile_starts, aux.tile_counts))
 
@@ -132,10 +139,13 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
         color_t, T_t, gx, rows_per, camera.width, h_slice, rcfg.tile)
     image = color + final_T[None] * bg[:, None, None]
 
-    # Zero rows past the true image height (the last slice may be padded):
-    # keeps the loss exact and makes slice edges match the unsharded SSIM
-    # conv's zero padding.
-    yglob = ty0 * rcfg.tile + jnp.arange(h_slice)
+    # Zero rows past the true image height (the trailing global tile rows
+    # are padding): keeps the loss exact and makes slice edges match the
+    # unsharded SSIM conv's zero padding. Local pixel row l*tile + w maps
+    # to global pixel row (ax + l*G)*tile + w.
+    larr = jnp.arange(h_slice) // rcfg.tile
+    warr = jnp.arange(h_slice) % rcfg.tile
+    yglob = (ax + larr * G) * rcfg.tile + warr
     row_valid = (yglob < camera.height).astype(jnp.float32)[:, None]
     image = image * row_valid[None]
 
@@ -148,61 +158,91 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
 HALO = 5  # rows: 11x11 SSIM window half-width
 
 
-def _exchange_halos(img: jnp.ndarray, G: int, axis_name: str = "gauss"):
-    """(3, h, W) slice -> (3, h + 2*HALO, W) with true neighbor rows.
+def _exchange_halos_strided(img4: jnp.ndarray, ax, G: int,
+                            axis_name: str = "gauss"):
+    """Per-tile-row halos under strided row ownership.
 
-    Boundary devices receive zeros (ppermute drops unlisted destinations) —
-    identical to the zero padding the single-chip 'same' convolution uses at
-    image edges."""
-    if G == 1:
-        z = jnp.zeros((img.shape[0], HALO, img.shape[2]), img.dtype)
-        return jnp.concatenate([z, img, z], axis=1)
-    from_above = jax.lax.ppermute(
-        img[:, -HALO:, :], axis_name,
-        [(i, i + 1) for i in range(G - 1)])       # my top halo = prev's bottom
-    from_below = jax.lax.ppermute(
-        img[:, :HALO, :], axis_name,
-        [(i + 1, i) for i in range(G - 1)])       # my bottom halo = next's top
-    return jnp.concatenate([from_above, img, from_below], axis=1)
+    img4: (3, rows_per, tile, W) — this device's tile rows (local row l is
+    global tile row ax + l*G). Returns (3, rows_per, tile + 2*HALO, W) where
+    every tile row is extended by the TRUE neighboring pixel rows:
+    the row above global row (ax + l*G) lives on device (ax-1) mod G — at
+    the same local index for ax > 0, at l-1 for ax == 0 (the ring wraps one
+    local step down). One full-ring ppermute each way; the top/bottom image
+    edges get zeros, identical to the unsharded conv's zero padding. Also
+    exact at G == 1, where the ring is the identity and the wrap shift
+    stitches a device's own adjacent tile rows together."""
+    bottom = img4[:, :, -HALO:, :]               # (3, R, HALO, W)
+    top = img4[:, :, :HALO, :]
+    recv_above = jax.lax.ppermute(
+        bottom, axis_name, [(i, (i + 1) % G) for i in range(G)])
+    recv_below = jax.lax.ppermute(
+        top, axis_name, [(i, (i - 1) % G) for i in range(G)])
+    z = jnp.zeros_like(recv_above[:, :1])
+    shift_dn = jnp.concatenate([z, recv_above[:, :-1]], axis=1)
+    shift_up = jnp.concatenate([recv_below[:, 1:], z], axis=1)
+    above = jnp.where(ax == 0, shift_dn, recv_above)
+    below = jnp.where(ax == G - 1, shift_up, recv_below)
+    return jnp.concatenate([above, img4, below], axis=2)
 
 
-def sharded_gs_loss(image_slice, row_valid, target, ty0_rows, height: int,
+def _filter2d_rows(x4: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise filter over (3, R, h, W) per-tile-row stacks: vertical
+    VALID (the halo rows supply the support), horizontal same padding."""
+    C, R, h, W = x4.shape
+    k = window.shape[0]
+    kernel = jnp.broadcast_to(window, (C, 1, k, k))
+    xb = x4.transpose(1, 0, 2, 3)                # (R, 3, h, W) — R batches
+    out = jax.lax.conv_general_dilated(
+        xb, kernel, window_strides=(1, 1),
+        padding=[(0, 0), (k // 2, k // 2)],
+        feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.transpose(1, 0, 2, 3)             # (3, R, h - 2*HALO, W)
+
+
+def sharded_gs_loss(image_slice, row_valid, target, ax, height: int,
                     width: int, tile: int, lambda_dssim: float, G: int):
-    """Full-image (1-l)*L1 + l*(1-SSIM) from per-device slices.
+    """Full-image (1-l)*L1 + l*(1-SSIM) from strided per-device slices.
 
-    target: full (3, H, W) (replicated); image_slice: this device's rows,
-    already zeroed past `height`. Exact match with ops.ssim.gs_loss on the
-    stitched image (psum over 'gauss' + halo exchange give every SSIM window
-    the same pixels the unsharded conv sees).
+    target: full (3, H, W) (replicated); image_slice: this device's
+    interleaved tile rows (local l = global ax + l*G), already zeroed past
+    `height`. Matches ops.ssim.gs_loss on the stitched image: the psum over
+    'gauss' plus per-tile-row halo exchange give every SSIM window the same
+    pixels the unsharded conv sees.
     """
     h_slice = image_slice.shape[1]
+    rows_per = h_slice // tile
     npix = 3.0 * height * width
-    y0px = ty0_rows * tile
+    img4 = image_slice.reshape(3, rows_per, tile, width)
 
-    # Target slice with halo rows straight from the replicated target.
-    tpad = jnp.pad(target, ((0, 0), (HALO, HALO + G * h_slice - height),
-                            (0, 0)))
-    tgt_ext = jax.lax.dynamic_slice(
-        tpad, (0, y0px, 0), (3, h_slice + 2 * HALO, width))
-    tgt = tgt_ext[:, HALO:-HALO, :] * row_valid[None]
+    # Target tile rows (with halo rows) gathered straight from the
+    # replicated target: local row l covers global pixel rows
+    # [(ax + l*G)*tile - HALO, (ax + l*G + 1)*tile + HALO).
+    tpad = jnp.pad(target, ((0, 0),
+                            (HALO, HALO + G * h_slice - height), (0, 0)))
+    idx = ((ax + jnp.arange(rows_per) * G) * tile)[:, None] \
+        + jnp.arange(tile + 2 * HALO)[None, :]
+    tgt_ext = jnp.take(tpad, idx, axis=1)        # (3, R, tile+2H, W)
+    rv4 = row_valid.reshape(1, rows_per, tile, 1)
+    tgt4 = tgt_ext[:, :, HALO:-HALO, :] * rv4
 
-    l1_part = jnp.sum(jnp.abs(image_slice - tgt))
+    l1_part = jnp.sum(jnp.abs(img4 - tgt4))
     l1 = jax.lax.psum(l1_part, "gauss") / npix
 
-    # SSIM on halo-extended slices; windows centered on valid rows only.
-    img_ext = _exchange_halos(image_slice, G)
+    # SSIM on halo-extended tile rows; windows centered on valid rows only.
+    img_ext = _exchange_halos_strided(img4, ax, G)
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     w = _gaussian_window(11, 1.5)
-    mu1 = _filter2d(img_ext, w)
-    mu2 = _filter2d(tgt_ext, w)
+    mu1 = _filter2d_rows(img_ext, w)
+    mu2 = _filter2d_rows(tgt_ext, w)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _filter2d(img_ext * img_ext, w) - mu1_sq
-    s2 = _filter2d(tgt_ext * tgt_ext, w) - mu2_sq
-    s12 = _filter2d(img_ext * tgt_ext, w) - mu12
+    s1 = _filter2d_rows(img_ext * img_ext, w) - mu1_sq
+    s2 = _filter2d_rows(tgt_ext * tgt_ext, w) - mu2_sq
+    s12 = _filter2d_rows(img_ext * tgt_ext, w) - mu12
     ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
-    ssim_center = ssim_map[:, HALO:-HALO, :] * row_valid[None]
-    ssim_val = jax.lax.psum(jnp.sum(ssim_center), "gauss") / npix
+    ssim_val = jax.lax.psum(jnp.sum(ssim_map * rv4), "gauss") / npix
     return (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_val)
 
 
@@ -239,16 +279,14 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
         n_local = params.xyz.shape[0]
         G = jax.lax.axis_size("gauss")
         D = jax.lax.axis_size("data")
-        gx, gy = rcfg.grid_size(cam.width, cam.height)
-        rows_per = -(-gy // G)
 
         def loss_fn(p, offs):
             r = rasterize_sharded(
                 p, state.alive, cam, sh_degree, bg, rcfg,
                 screenspace_offset=offs, impl=impl,
                 max_per_tile=max_per_tile)
-            ty0 = jax.lax.axis_index("gauss") * rows_per
-            loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ty0,
+            ax = jax.lax.axis_index("gauss")
+            loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ax,
                                    cam.height, cam.width, rcfg.tile,
                                    cfg.lambda_dssim, G)
             return loss, (r.radii, r.num_pairs,

@@ -17,7 +17,10 @@ from tests.scenes import look_at_camera, sphere_scene
 # payload-carry default is exercised separately (test_bf16_carry_close).
 CFG = RasterizerConfig(pair_capacity=1 << 14, feat_carry_bf16=False,
                        grad_carry_bf16=False)
-CFG_BF16 = RasterizerConfig(pair_capacity=1 << 14)
+# Reference-comparison configs pin sort_stable=True: the reference's radix
+# sort is stable, and stable tie-resolution keeps the bf16-carry comparison
+# noise purely about the bf16 rounding, not about tie order.
+CFG_BF16 = RasterizerConfig(pair_capacity=1 << 14, sort_stable=True)
 CAM = look_at_camera((0.0, 0.0, -3.0), width=96, height=64)
 BG = jnp.array([0.1, 0.2, 0.3], jnp.float32)
 

@@ -75,9 +75,10 @@ def test_dlnr_forward_shapes_and_warm_start():
 
 
 def test_dlnr_bf16_matmul_policy_close_to_f32():
-    """The production default runs conv/einsum operands in bf16 (the TPU
-    analog of the reference's autocast mixed precision, stereo_utils.py:55).
-    Disparity must stay close to the full-f32 path."""
+    """bf16 conv/einsum operands are an OPTIONAL speed mode (the TPU analog
+    of the reference's autocast mixed precision, stereo_utils.py:55); the
+    shipped default is full f32 (layers.MATMUL_DTYPE = None). This validates
+    that enabling the mode keeps disparity close to the f32 path."""
     from gs2mesh_tpu.stereo.layers import matmul_dtype
 
     params = init_dlnr_params(seed=0)

@@ -45,8 +45,8 @@ def main():
     def local(params, alive, target, bg):
         r = rasterize_sharded(params, alive, cam, 0, bg, rcfg, impl=impl,
                               max_per_tile=2048)
-        ty0 = jax.lax.axis_index("gauss") * rows_per
-        loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ty0,
+        ax = jax.lax.axis_index("gauss")
+        loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ax,
                                cam.height, cam.width, rcfg.tile, 0.2, G)
         return loss, r.image_slice
 
