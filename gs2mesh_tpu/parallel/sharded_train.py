@@ -252,7 +252,13 @@ class ShardedStepOutput(NamedTuple):
     state: GaussianState
     loss: jnp.ndarray
     pairs_per_device: jnp.ndarray   # (G,) emission count of each tile slice
-    overflow: jnp.ndarray           # () any slice overflowed its capacity
+    # Mirrors the single-chip StepOutput split (trainer.py StepOutput): the
+    # two bits demand different reactions — grow ``pair_capacity`` vs raise
+    # ``max_per_tile`` (or switch to the capless Pallas path) — so they are
+    # never merged. The reference grows its buffers instead of truncating
+    # (rasterizer_impl.cu:155-194); on static-shape TPU the host reacts.
+    overflow: jnp.ndarray           # () any slice overflowed pair_capacity
+    tile_overflow: jnp.ndarray      # () a tile exceeded the XLA per-tile cap
 
 
 def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
@@ -289,11 +295,11 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
             loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ax,
                                    cam.height, cam.width, rcfg.tile,
                                    cfg.lambda_dssim, G)
-            return loss, (r.radii, r.num_pairs,
-                          r.overflow | r.tile_overflow)
+            return loss, (r.radii, r.num_pairs, r.overflow, r.tile_overflow)
 
         offs0 = jnp.zeros((n_local, 2), jnp.float32)
-        (loss, (radii, num_pairs, overflow)), (grads, ss_grad) = \
+        (loss, (radii, num_pairs, overflow, tile_overflow)), \
+            (grads, ss_grad) = \
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, offs0)
 
@@ -308,6 +314,7 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
         vis = radii > 0
         g_ndc = ss_grad * jnp.array([[0.5 * cam.width, 0.5 * cam.height]])
         norm = jnp.where(vis, jnp.linalg.norm(g_ndc, axis=-1), 0.0)
+        state0 = state
         state = state._replace(
             xyz_grad_accum=state.xyz_grad_accum + jax.lax.psum(norm, "data"),
             denom=state.denom + jax.lax.psum(
@@ -318,17 +325,32 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
                              "data")),
         )
 
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
         loss = jax.lax.pmean(loss, "data")
         pairs = jax.lax.all_gather(num_pairs, "gauss")      # (G,)
         pairs = jax.lax.pmax(pairs, "data")
-        any_overflow = jax.lax.pmax(
-            jax.lax.pmax(overflow.astype(jnp.int32), "gauss"), "data") > 0
-        return ShardedStepOutput(params=params, opt_state=opt_state,
-                                 state=state, loss=loss,
+
+        def any_bit(b):
+            return jax.lax.pmax(
+                jax.lax.pmax(b.astype(jnp.int32), "gauss"), "data") > 0
+
+        any_overflow = any_bit(overflow)
+        any_tile_overflow = any_bit(tile_overflow)
+        # Same no-op gating as the single-chip step (make_train_step): an
+        # overflowed render produced truncated gradients, so freeze params /
+        # optimizer / densify stats and let the host grow and redo.
+        ok = jnp.logical_not(any_overflow | any_tile_overflow)
+
+        def gate(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+        return ShardedStepOutput(params=gate(new_params, params),
+                                 opt_state=gate(new_opt_state, opt_state),
+                                 state=gate(state, state0), loss=loss,
                                  pairs_per_device=pairs,
-                                 overflow=any_overflow)
+                                 overflow=any_overflow,
+                                 tile_overflow=any_tile_overflow)
 
     def step(params, opt_state, state, cam_batch, targets, bg):
         in_specs = (
@@ -346,6 +368,7 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
             loss=P(),
             pairs_per_device=P(),
             overflow=P(),
+            tile_overflow=P(),
         )
         fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)

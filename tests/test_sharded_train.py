@@ -75,6 +75,69 @@ def test_sharded_step_matches_single_chip():
     assert not bool(out.overflow)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_overflow_bits_split_and_gate():
+    """ShardedStepOutput keeps pair-capacity overflow and XLA tile-cap
+    truncation SEPARATE (mirroring the single-chip StepOutput) and gates the
+    step to a no-op when either fires — the round-3 dryrun gate failure was
+    exactly these two bits merged (`overflow | tile_overflow`) tripping the
+    dryrun's capacity assert on an intentional max_per_tile cap."""
+    # Clustered cloud => one hot tile, so a small max_per_tile truncates
+    # while per-device pair capacity stays ample.
+    rng = np.random.default_rng(3)
+    n = 256
+    pts = rng.normal(0.0, 0.05, size=(n, 3)).astype(np.float32)
+    cam = look_at_camera((0, 0, -3.0), width=64, height=64)
+    cfg = TrainConfig(sh_degree=0)
+    model = GaussianModel.from_point_cloud(
+        pts, rng.uniform(0.2, 0.8, (n, 3)), max_sh_degree=0, capacity=256)
+    tx = make_optimizer(cfg, model.spatial_lr_scale)
+    opt_state = tx.init(model.params)
+    mesh = make_mesh(data=1, gauss=4)
+    target = jnp.zeros((1, 3, 64, 64), jnp.float32)
+
+    def run(rcfg, max_per_tile):
+        step = make_sharded_train_step(mesh, tx, model.capacity, cam, cfg,
+                                       rcfg, 0, impl="xla",
+                                       max_per_tile=max_per_tile)
+        return step(model.params, opt_state, model.state,
+                    batch_cameras([cam]), target, jnp.zeros(3))
+
+    ample = RasterizerConfig(pair_capacity=1 << 12)
+    ok = run(ample, 4096)
+    assert not bool(ok.overflow) and not bool(ok.tile_overflow)
+    # The clean step must actually update parameters.
+    assert float(jnp.abs(ok.params.xyz - model.params.xyz).max()) > 0
+
+    # Tile-cap truncation only: tile_overflow fires, overflow must NOT
+    # (the round-3 regression), and the step is an exact no-op.
+    t = run(ample, 8)
+    assert bool(t.tile_overflow)
+    assert not bool(t.overflow), \
+        "tile-cap truncation must not masquerade as pair-capacity overflow"
+    for name, a, b in zip(model.params._fields, t.params, model.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    np.testing.assert_array_equal(np.asarray(t.state.xyz_grad_accum),
+                                  np.asarray(model.state.xyz_grad_accum))
+
+    # Pair-capacity overflow only: overflow fires, step is a no-op.
+    o = run(RasterizerConfig(pair_capacity=128), 4096)
+    assert bool(o.overflow)
+    for name, a, b in zip(model.params._fields, o.params, model.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_entry_point():
+    """The driver-checked entry point itself, run in-suite so it can never
+    again regress untested (round-3 shipped it red)."""
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
 def test_tile_sharding_divides_compositing_work():
     """Each device emits/composites only its tile slice: per-device pair
     counts must sum to ~the single-chip total (boundary splats duplicate

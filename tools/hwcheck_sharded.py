@@ -84,7 +84,15 @@ def main():
 
     img_ref = render_model(model.params, model.state.alive, cam, 0,
                            jnp.zeros(3), rcfg, impl, max_per_tile=2048).image
-    img_err = float(jnp.abs(img_s[:, :96, :] - img_ref).max())
+    # De-interleave the strided row ownership: the P(None,'gauss',None)
+    # concat stacks device blocks, but device ax owns global tile rows
+    # ax, ax+G, ... — reorder (G, rows_per) -> (rows_per, G) so flat tile
+    # row index equals the global one, then crop padding rows.
+    W = cam.width
+    img_g = jnp.reshape(img_s, (3, G, rows_per, rcfg.tile, W))
+    img_g = jnp.transpose(img_g, (0, 2, 1, 3, 4))
+    img_g = jnp.reshape(img_g, (3, G * rows_per * rcfg.tile, W))
+    img_err = float(jnp.abs(img_g[:, :cam.height, :] - img_ref).max())
     loss_err = abs(float(loss_s) - float(loss_r))
     print(f"impl={impl} mesh=(1x{G})  img maxerr {img_err:.2e}  "
           f"loss {float(loss_s):.6f} vs {float(loss_r):.6f}")
