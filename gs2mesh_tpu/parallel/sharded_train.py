@@ -375,3 +375,119 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
         return fn(params, opt_state, state, cam_batch, targets, bg)
 
     return jax.jit(step)
+
+
+@dataclasses.dataclass
+class ShardedTrainer:
+    """Minimal multi-chip host training driver with overflow reaction.
+
+    Applies the same grow-and-redo policy as the single-chip ``Trainer``
+    (train.trainer): when a step reports ``overflow`` the per-slice
+    ``pair_capacity`` doubles; when it reports ``tile_overflow`` the XLA
+    compositor's ``max_per_tile`` doubles; either way the step already gated
+    itself to an exact no-op, so the iteration is redone on the same views
+    after one retrace — the static-shape analog of the reference's dynamic
+    buffer growth (rasterizer_impl.cu resizeFunctional). Each step consumes
+    ``data``-axis-many views (data-parallel gradient mean).
+    """
+
+    mesh: Mesh
+    model: GaussianModel
+    cameras: Any                       # Sequence[Camera]
+    images: Any                        # Sequence[(3, H, W) arrays]
+    cfg: TrainConfig = TrainConfig()
+    rcfg: RasterizerConfig = RasterizerConfig()
+    impl: str = "xla"
+    max_per_tile: int = 4096
+    seed: int = 0
+
+    def __post_init__(self):
+        from gs2mesh_tpu.train.trainer import make_optimizer
+        import numpy as np
+
+        self.tx = make_optimizer(self.cfg, self.model.spatial_lr_scale)
+        self.opt_state = self.tx.init(self.model.params)
+        self.iteration = 0
+        self._steps = {}
+        self._rng = np.random.default_rng(self.seed)
+        self._view_stack = []
+        self._targets_dev = {}
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape["data"]
+
+    def _get_step(self, sh_degree: int):
+        key = (sh_degree, self.rcfg.pair_capacity, self.max_per_tile)
+        if key not in self._steps:
+            self._steps[key] = make_sharded_train_step(
+                self.mesh, self.tx, self.model.capacity, self.cameras[0],
+                self.cfg, self.rcfg, sh_degree, impl=self.impl,
+                max_per_tile=self.max_per_tile)
+        return self._steps[key]
+
+    def _next_views(self):
+        import numpy as np
+
+        out = []
+        for _ in range(self.data_size):
+            if not self._view_stack:
+                self._view_stack = list(range(len(self.cameras)))
+                self._rng.shuffle(self._view_stack)
+            out.append(self._view_stack.pop())
+        return out
+
+    def _targets(self, views):
+        for v in views:
+            if v not in self._targets_dev:
+                self._targets_dev[v] = jnp.asarray(self.images[v])
+        return jnp.stack([self._targets_dev[v] for v in views])
+
+    def _bg(self):
+        return (jnp.ones(3, jnp.float32) if self.cfg.white_background
+                else jnp.zeros(3, jnp.float32))
+
+    def train(self, iterations: int, log_every: int = 0):
+        from gs2mesh_tpu.parallel.mesh import batch_cameras
+
+        end = self.iteration + iterations
+        while self.iteration < end:
+            self.iteration += 1
+            it = self.iteration
+            sh_deg = min(it // 1000, self.cfg.sh_degree)
+            views = self._next_views()
+            step = self._get_step(sh_deg)
+            out = step(self.model.params, self.opt_state, self.model.state,
+                       batch_cameras([self.cameras[v] for v in views]),
+                       self._targets(views), self._bg())
+            self.model.params = out.params
+            self.model.state = out.state
+            self.opt_state = out.opt_state
+            if bool(out.overflow) or bool(out.tile_overflow):
+                if bool(out.overflow):
+                    cap = self.rcfg.pair_capacity
+                    new = min(cap * 2, (1 << 24) - 2048)
+                    if new <= cap:
+                        raise RuntimeError(
+                            f"per-slice pair_capacity {cap} hit the 2^24 "
+                            "bound")
+                    self.rcfg = dataclasses.replace(self.rcfg,
+                                                    pair_capacity=new)
+                    print(f"[sharded] pair_capacity {cap} -> {new}")
+                if bool(out.tile_overflow):
+                    self.max_per_tile *= 2
+                    print(f"[sharded] max_per_tile -> {self.max_per_tile}")
+                self._steps.clear()
+                self._view_stack.extend(reversed(views))
+                self.iteration -= 1
+                continue
+            if log_every and it % log_every == 0:
+                print(f"[sharded] it={it} loss={float(out.loss):.5f} "
+                      f"pairs={np_asarray_list(out.pairs_per_device)}")
+        return self
+
+
+def np_asarray_list(x):
+    import numpy as np
+
+    return np.asarray(x).tolist()

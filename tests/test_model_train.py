@@ -248,3 +248,58 @@ def test_checkpoint_roundtrip(tmp_path):
     tr2.train(2)
     np.testing.assert_allclose(np.asarray(tr2.model.params.xyz),
                                np.asarray(tr.model.params.xyz), atol=1e-6)
+
+
+def test_trainer_overflow_grow_and_redo():
+    """The overflow reaction (Trainer.train): an overflowed step gates
+    itself to a no-op, the host doubles the overflowed bound
+    (pair_capacity / max_per_tile) and REDOES the same iteration — so a run
+    that starts with hopelessly small buffers converges to the exact same
+    parameters as an ample-capacity run, never training on a truncated
+    render (the reference grows buffers instead of truncating,
+    rasterizer_impl.cu resizeFunctional)."""
+    scene = sphere_scene(n=150, seed=11)
+    cams = [look_at_camera((0, 0, -3.0), width=64, height=64),
+            look_at_camera((0.3, 0.1, -2.9), width=64, height=64)]
+    from gs2mesh_tpu.ops.rasterizer.golden import render_golden
+    # Stable tie-breaking: equal quantized-depth ties must resolve the same
+    # way across different pair capacities for the exact-equality claim.
+    rcfg_ample = RasterizerConfig(pair_capacity=1 << 13, sort_stable=True)
+    images = []
+    for cam in cams:
+        img, _, _ = jax.jit(lambda c=cam: render_golden(
+            jnp.asarray(scene["means3d"]), jnp.asarray(scene["scales"]),
+            jnp.asarray(scene["rotations"]), jnp.asarray(scene["opacities"]),
+            jnp.asarray(scene["shs"]), c, 0, cfg=rcfg_ample))()
+        images.append(np.asarray(img))
+    rng = np.random.default_rng(12)
+    cols = rng.uniform(0.2, 0.8, size=(150, 3)).astype(np.float32)
+
+    def make_trainer(rcfg, max_per_tile):
+        model = GaussianModel.from_point_cloud(
+            scene["means3d"], cols, max_sh_degree=0, capacity=256)
+        cfg = TrainConfig(sh_degree=0, densify_from_iter=10_000)
+        return Trainer(model=model, cameras=cams, images=images, cfg=cfg,
+                       rcfg=rcfg, impl="xla", max_per_tile=max_per_tile,
+                       scene_extent=2.0, seed=3)
+
+    # Reference: ample capacity from the start. max_per_tile=128 is the cap
+    # the tiny run's doubling lands on (hottest tile of this scene is in
+    # (64, 128]); matching it makes the two runs BIT-identical — the XLA
+    # compositor's (3, L)@(L, P) reduction tree depends on L, so different
+    # caps would differ by float association even with ample headroom.
+    ref = make_trainer(rcfg_ample, 128).train(6)
+    # Deliberately tiny pair capacity AND tile cap: both reactions fire.
+    tiny = make_trainer(
+        RasterizerConfig(pair_capacity=256, sort_stable=True), 4).train(6)
+
+    assert tiny.rcfg.pair_capacity > 256, "pair_capacity never grew"
+    assert tiny.max_per_tile > 4, "max_per_tile never grew"
+    assert tiny.iteration == ref.iteration == 6
+    for name, a, b in zip(ref.model.params._fields, tiny.model.params,
+                          ref.model.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=name)
+    np.testing.assert_allclose(np.asarray(tiny.model.state.xyz_grad_accum),
+                               np.asarray(ref.model.state.xyz_grad_accum),
+                               atol=1e-5)

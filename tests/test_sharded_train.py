@@ -177,3 +177,45 @@ def test_tile_sharding_divides_compositing_work():
     assert int(pairs.sum()) == total
     # And no device composites more than a balanced share + slack.
     assert pairs.max() <= 0.75 * total
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_trainer_grows_and_matches_ample_run():
+    """ShardedTrainer applies the single-chip grow-and-redo policy on a
+    multi-device mesh: a run starting with hopelessly small per-slice
+    pair capacity and tile cap must grow both, redo the gated no-op
+    iterations, and land on the same parameters as an ample-capacity
+    sharded run (same caps -> bit-identical XLA reduction trees)."""
+    from gs2mesh_tpu.parallel import ShardedTrainer
+
+    rng = np.random.default_rng(21)
+    n = 200
+    pts = rng.normal(0.0, 0.3, size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+    cams = [look_at_camera((0, 0, -3.0), width=64, height=64),
+            look_at_camera((0.2, 0.1, -2.9), width=64, height=64)]
+    images = [np.zeros((3, 64, 64), np.float32) + 0.25,
+              np.zeros((3, 64, 64), np.float32) + 0.75]
+    mesh = make_mesh(data=1, gauss=4)
+    cfg = TrainConfig(sh_degree=0)
+
+    def run(pair_capacity, max_per_tile):
+        model = GaussianModel.from_point_cloud(pts, cols, max_sh_degree=0,
+                                               capacity=256)
+        tr = ShardedTrainer(
+            mesh=mesh, model=model, cameras=cams, images=images, cfg=cfg,
+            rcfg=RasterizerConfig(pair_capacity=pair_capacity,
+                                  sort_stable=True),
+            impl="xla", max_per_tile=max_per_tile, seed=5)
+        return tr.train(4)
+
+    tiny = run(128, 4)   # chunk-sized minimum capacity
+    assert tiny.rcfg.pair_capacity > 128, "per-slice pair_capacity never grew"
+    assert tiny.max_per_tile > 4, "max_per_tile never grew"
+    assert tiny.iteration == 4
+
+    ref = run(1 << 12, tiny.max_per_tile)
+    for name, a, b in zip(ref.model.params._fields, tiny.model.params,
+                          ref.model.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7,
+                                   err_msg=name)
