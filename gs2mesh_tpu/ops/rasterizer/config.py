@@ -56,8 +56,10 @@ class RasterizerConfig:
     # zero (early-termination zero-fill) are dropped before the per-gaussian
     # reduction sort. Static capacity as a fraction of pair chunks; when the
     # live count exceeds it the backward falls back to the full-size sort
-    # (correctness never depends on the fraction).
-    bwd_compact_frac: float = 0.5
+    # (correctness never depends on the fraction). Saturated scenes measure
+    # ~23% live on v5e; 0.375 keeps ~60% headroom while the compacted sort
+    # stays 25% cheaper than at 0.5.
+    bwd_compact_frac: float = 0.375
 
     @property
     def pixels_per_tile(self) -> int:

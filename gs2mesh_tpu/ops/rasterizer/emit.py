@@ -19,8 +19,9 @@ the renderCUDA collectives that re-read per-Gaussian data, forward.cu:281-309):
     K-row random gather costs ~33 ms — the sort IS the gather. Means are
     carried TILE-LOCAL (shift-invariant for all downstream math) which frees
     their low mantissa bits: the per-pair gaussian id rides inside them
-    (11 + 11 bits), saving a whole payload column. Conic/opacity/rgb ride as
-    bf16 pairs. Net: one u32 key + six payload columns.
+    (11 + 11 bits), saving a whole payload column. Conic/opacity ride as a
+    bf16 pair per u32; the rgb triple rides ONE u32 as 11/11/10-bit
+    minifloats (pack_rgb). Net: one u32 key + five payload columns.
   * The backward reduces per-pair cotangents per gaussian by sorting them
     ON THE GAUSSIAN ID (recovered from the mean-mantissa bits) and running
     the one-hot MXU segment-sum over the id-sorted stream — deterministic,
@@ -58,6 +59,11 @@ IDKEEP = 0xFFFFF800     # complement of IDMASK (u32-safe literal)
 OSENT = float(1 << 28)  # offset sentinel for non-run table rows
 DEC_S = 16              # chunks decoded per Pallas grid step
 DEC_W = 256             # decode window rows (2 aligned 128-row blocks)
+NEXACT = 8  # table rows decoded f32-exact: rid, offset, x0, y0, rw, depth,
+            # mx, my (ints < 2^24 + sub-pixel means). The remaining 8 rows
+            # (conic, opacity, rgb, pad) only ever reach downstream math at
+            # bf16 payload precision, so their one-hot decode runs as a
+            # single-pass bf16 MXU matmul instead of the 6-pass f32 one.
 
 
 class EmitAux(NamedTuple):
@@ -128,6 +134,15 @@ def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
     rect = jax.lax.stop_gradient(rect)
     tiles = jax.lax.stop_gradient(tiles_touched)
 
+    if cfg.feat_carry_bf16:
+        # bf16 rounding is THE semantics of packed-carry mode: conic /
+        # opacity / rgb are rounded ONCE here so the alpha-cut cull, the
+        # Pallas decode's single-pass bf16 MXU matmul and the payload
+        # packing all see identical values on every path.
+        feat9 = jnp.concatenate([
+            feat9[:, :2],
+            feat9[:, 2:].astype(jnp.bfloat16).astype(f32)], axis=1)
+
     cum = jnp.cumsum(tiles)
     num_pairs = cum[-1]
     offsets = cum - tiles                                  # (N,)
@@ -136,7 +151,7 @@ def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
     gtable = jnp.concatenate([
         jnp.stack([
             jnp.arange(N, dtype=f32),                      # real id
-            offsets.astype(f32),
+            jnp.where(has, offsets.astype(f32), OSENT),
             rect[:, 0].astype(f32),
             rect[:, 1].astype(f32),
             jnp.maximum(rect[:, 2] - rect[:, 0], 1).astype(f32),
@@ -145,17 +160,18 @@ def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
         feat9,
         jnp.zeros((N, 1), f32),
     ], axis=1)                                             # (N, 16)
-    # Compaction: run id -> real id via one 1-D scatter, then ONE row gather
-    # (1-D column gathers are ~20x slower than row gathers on TPU). Rows
-    # beyond the live run count select the sentinel row (offset = OSENT) so
-    # the slot->run step compare never counts them.
+    # Compaction: stable sort on the one-bit liveness key carries the row
+    # index as payload — live rows land first in id order, dead rows (their
+    # offset column already the OSENT sentinel, so the slot->run step
+    # compare never counts them) sink to the tail. One small 2-column sort
+    # replaces an XLA scatter that costs ~6x more at N=300k on v5e, then
+    # ONE row gather moves the table (1-D column gathers are ~20x slower
+    # than row gathers on TPU).
+    dead = jnp.where(has, u32(0), u32(1))
+    _, ridx = jax.lax.sort((dead, jnp.arange(N, dtype=i32)), num_keys=1,
+                           is_stable=True)
+    ctable = gtable[ridx]                                  # one (N,16) gather
     sent_row = jnp.zeros((1, 16), f32).at[0, 1].set(OSENT)
-    gtable_ext = jnp.concatenate([gtable, sent_row], axis=0)
-    run_pos = jnp.cumsum(has.astype(i32)) - 1              # (N,)
-    ridx = jnp.full((N,), N, i32).at[
-        jnp.where(has, run_pos, N)
-    ].set(jnp.arange(N, dtype=i32), mode="drop")
-    ctable = gtable_ext[ridx]                              # one (N,16) gather
     nb128 = -(-N // 128) + 1                               # +1 spare block
     ctable = jnp.concatenate([
         ctable,
@@ -169,8 +185,7 @@ def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
 
 
 def _decode_kernel(blk_ref, np_ref, ctab_hbm,
-                   key_ref, mxs_ref, mys_ref, p1_ref, p2_ref, p3_ref,
-                   blue_ref,
+                   key_ref, mxs_ref, mys_ref, p1_ref, p2_ref, rgb_ref,
                    wbuf, sems,
                    *, gx: int, num_tiles: int, tb: int, tile: int,
                    nsteps: int, cfg: RasterizerConfig):
@@ -226,21 +241,30 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
         step = (eo <= slot_col).astype(f32)                # (128, W)
         onehot = step - jnp.concatenate(
             [step[:, 1:], jnp.zeros((128, 1), f32)], axis=1)
-        # NT-matmul: contract the lane (window) dim of BOTH operands —
-        # (16, W) x (128, W) -> (16, 128): features land on sublanes,
-        # slots on lanes, so all per-slot math below runs full-lane.
+        # NT-matmuls: contract the lane (window) dim of BOTH operands —
+        # (8, W) x (128, W) -> (8, 128): features land on sublanes, slots
+        # on lanes, so all per-slot math below runs full-lane. Split by
+        # precision: the first NEXACT table rows (ids/offsets/geometry)
+        # need the 6-pass exact-f32 path, the feature rows are already
+        # bf16-rounded (_build_tables) so a single-pass bf16 matmul decodes
+        # them exactly.
         dec = jax.lax.dot_general(
-            win, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=HI)      # (16, 128)
+            win[:NEXACT], onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=HI)      # (8, 128)
+        onehot_h = onehot.astype(jnp.bfloat16)
+        decf = jax.lax.dot_general(
+            win[NEXACT:].astype(jnp.bfloat16), onehot_h,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                    # (8, 128)
 
         rid = dec[0:1]
         offv = dec[1:2]
         x0, y0, rw = dec[2:3], dec[3:4], dec[4:5]
         depth = dec[5:6]
         mx, my = dec[6:7], dec[7:8]
-        ca, cb, cc = dec[8:9], dec[9:10], dec[10:11]
-        op = dec[11:12]
-        r, g, b = dec[12:13], dec[13:14], dec[14:15]
+        ca, cb, cc = decf[0:1], decf[1:2], decf[2:3]
+        op = decf[3:4]
+        r, g, b = decf[4:5], decf[5:6], decf[6:7]
 
         local = slot_f - offv                              # f32-exact ints
         rwm = jnp.maximum(rw, 1.0)
@@ -299,13 +323,12 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
         mys_ref[j, :] = uy[0]
         p1_ref[j, :] = pack2bf16(ca, cb)[0]
         p2_ref[j, :] = pack2bf16(cc, op)[0]
-        p3_ref[j, :] = pack2bf16(r, g)[0]
-        blue_ref[j, :] = b[0]
+        rgb_ref[j, :] = pack_rgb(r, g, b)[0]
 
 
 def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
                            cfg: RasterizerConfig, row_offset=0):
-    """TPU decode: returns (key, mxs, mys, p1, p2, p3, blue) flat (K,)
+    """TPU decode: returns (key, mxs, mys, p1, p2, rgb32) flat (K,) u32
     arrays ready to be sort payload (packed-carry layout)."""
     K = cfg.pair_capacity
     C = K // 128
@@ -324,7 +347,7 @@ def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
         grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[pl.BlockSpec((DEC_S, 128), lambda s, *_: (s, 0),
-                                memory_space=pltpu.VMEM)] * 7,
+                                memory_space=pltpu.VMEM)] * 6,
         scratch_shapes=[
             pltpu.VMEM((2, 16, WINPAD), f32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -334,8 +357,7 @@ def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
         functools.partial(_decode_kernel, gx=gx, num_tiles=num_tiles, tb=tb,
                           tile=cfg.tile, nsteps=nsteps, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((C, 128), u32)] * 6
-        + [jax.ShapeDtypeStruct((C, 128), f32)],
+        out_shape=[jax.ShapeDtypeStruct((C, 128), u32)] * 6,
         interpret=jax.default_backend() != "tpu",
     )(blk, jnp.stack([jnp.asarray(num_pairs, i32).reshape(()),
                       jnp.asarray(row_offset, i32).reshape(())]), ctab_T)
@@ -520,6 +542,50 @@ def unpack2bf16(p: jnp.ndarray):
     return x, y
 
 
+RGB_CLAMP = 3.0e4   # keeps the 5-bit minifloat exponent out of saturation
+
+
+def _enc_minifloat(x: jnp.ndarray, mbits: int) -> jnp.ndarray:
+    """Non-negative f32 -> (5-bit exp | mbits mantissa) code in a u32.
+
+    RNE mantissa rounding (carry into the exponent is exact, matching IEEE);
+    values below 2^-14 flush to code 0 (= 0.0) — invisible for color. The
+    11/11/10-bit rgb triple this feeds keeps MORE mantissa than bf16 would
+    lose anyway for r/g (6 vs 8 bits is the only delta) while fitting all
+    three channels in ONE sort-payload column."""
+    drop = 23 - mbits
+    b = jax.lax.bitcast_convert_type(
+        jnp.minimum(jnp.maximum(x, 0.0), RGB_CLAMP), u32)
+    b = b + ((b >> drop) & u32(1)) + u32((1 << (drop - 1)) - 1)
+    e5 = (b >> 23).astype(i32) - (127 - 15)
+    m = (b >> drop) & u32((1 << mbits) - 1)
+    code = (jnp.clip(e5, 0, 31).astype(u32) << mbits) | m
+    return jnp.where(e5 >= 1, code, u32(0))
+
+
+def _dec_minifloat(code: jnp.ndarray, mbits: int) -> jnp.ndarray:
+    e5 = (code >> mbits).astype(i32)
+    m = code & u32((1 << mbits) - 1)
+    b = ((e5 + (127 - 15)).astype(u32) << 23) | (m << (23 - mbits))
+    return jnp.where(code == 0, 0.0, jax.lax.bitcast_convert_type(b, f32))
+
+
+def pack_rgb(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Three non-negative color channels -> one u32 [r11 | g11 | b10].
+
+    Relative precision 2^-7 (r, g) / 2^-6 (b, the least perceptually
+    weighted channel) vs bf16's 2^-9 — invisible in 8-bit output; frees a
+    whole payload column from the (tile, depth) sort."""
+    return ((_enc_minifloat(r, 6) << 21) | (_enc_minifloat(g, 6) << 10)
+            | _enc_minifloat(b, 5))
+
+
+def unpack_rgb(p: jnp.ndarray):
+    return (_dec_minifloat((p >> 21) & u32(0x7FF), 6),
+            _dec_minifloat((p >> 10) & u32(0x7FF), 6),
+            _dec_minifloat(p & u32(0x3FF), 5))
+
+
 def _pack_cols(cols, packed: bool):
     """9 f32 columns -> sort payload tuple (packed: pairs ride one u32)."""
     if not packed:
@@ -574,7 +640,8 @@ IDCOL = FEAT - 1  # gaussian ids ride the spare last feature column
 
 
 def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
-                   ctbuf, sems, *, chunk: int, nb_total: int):
+                   ctbuf, sems, *, chunk: int, nb_total: int,
+                   bf16_mm: bool):
     """Per-128-Gaussian-block segmented sum via one-hot matmuls.
 
     NBB blocks per grid step. Block b's id-sorted cotangent chunks stream
@@ -618,6 +685,20 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
             ids = jax.lax.bitcast_convert_type(
                 ctbuf[slot, j, IDCOL:IDCOL + 1, :], i32)   # (1, chunk)
             onehot = (ids.T == gcol).astype(f32) * live    # (pair, gauss)
+            if bf16_mm:
+                # grad_carry_bf16 mode: every cotangent column already
+                # rode the id sort bf16-rounded, so casting the matmul
+                # operands to bf16 is LOSSLESS for them (one-hot 0/1 is
+                # exact; products of bf16 values are exact in the f32
+                # accumulator) and swaps the 6-pass exact-f32 MXU path
+                # for a single bf16 pass. The bitcast-id row flushes to
+                # zero as a bf16 denormal — its output column is junk
+                # either way (sliced off by the caller).
+                return acc + jax.lax.dot_general(
+                    onehot.astype(jnp.bfloat16),
+                    ctbuf[slot, j].astype(jnp.bfloat16),
+                    (((0,), (1,)), ((), ())),
+                    preferred_element_type=f32)            # (gauss, FEAT)
             return acc + jax.lax.dot_general(
                 onehot, ctbuf[slot, j], (((0,), (1,)), ((), ())),
                 preferred_element_type=f32, precision=HI)  # (gauss, FEAT)
@@ -670,7 +751,8 @@ def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, chunk=chunk, nb_total=NBp),
+        functools.partial(_segsum_kernel, chunk=chunk, nb_total=NBp,
+                          bf16_mm=cfg.grad_carry_bf16),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NBp, chunk, FEAT), f32)],
         interpret=jax.default_backend() != "tpu",
@@ -724,9 +806,9 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg,
         eo = jax.lax.optimization_barrier(ctable[:, 1])
         r_start = _bisect_right(eo, chunk0) - 1
         blk = jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
-        key, mxs, mys, p1, p2, p3, blue = emission_decode_pallas(
+        key, mxs, mys, p1, p2, rgb32 = emission_decode_pallas(
             ctable, blk, num_pairs, width, height, cfg, row_offset)
-        payload = (mxs, mys, p1, p2, p3, blue)
+        payload = (mxs, mys, p1, p2, rgb32)
     else:
         em = emission_core(feat9, depths, rect, tiles_touched, width, height,
                            cfg, row_offset)
@@ -737,8 +819,8 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg,
             payload = (mxs, mys,
                        pack2bf16(em.feat9[:, 2], em.feat9[:, 3]),
                        pack2bf16(em.feat9[:, 4], em.feat9[:, 5]),
-                       pack2bf16(em.feat9[:, 6], em.feat9[:, 7]),
-                       em.feat9[:, 8])
+                       pack_rgb(em.feat9[:, 6], em.feat9[:, 7],
+                                em.feat9[:, 8]))
         else:
             payload = tuple(em.feat9[:, i] for i in range(NCOLS)) + (ids,)
 
@@ -747,10 +829,10 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg,
     if cfg.feat_carry_bf16:
         mxl, myl, ids_sorted = unstuff_ids(sorted_[1], sorted_[2])
         cols = [mxl, myl]
-        for p in sorted_[3:6]:
+        for p in sorted_[3:5]:
             x, y = unpack2bf16(p)
             cols += [x, y]
-        cols.append(sorted_[6])
+        cols.extend(unpack_rgb(sorted_[5]))
     else:
         cols = list(sorted_[1:NCOLS + 1])
         ids_sorted = sorted_[NCOLS + 1]

@@ -45,6 +45,18 @@ f32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
 
 
+def _mm_prec(carry_bf16: bool):
+    """MXU precision for kernel matmuls, tied to the payload-carry mode.
+
+    Packed-carry mode already limits the operands to bf16 information
+    content (emit rounds features / cotangents to ride the sort), so a
+    single-pass bf16 MXU matmul adds noise of the same order the carry
+    already accepts - while the exact-carry mode (golden parity, hwchecks)
+    keeps the 6-pass exact-f32 path. Mosaic lowers only DEFAULT / HIGHEST.
+    """
+    return None if carry_bf16 else HI
+
+
 def _pixel_coords(tile: int, P: int):
     """(1, P) TILE-LOCAL pixel coordinates for flat pixel p = y*tile + x.
 
@@ -135,28 +147,26 @@ def _composite_core(v, T_pix, done, cfg: RasterizerConfig, chunk: int):
     (backward.cu / forward.cu:347-351: a pixel freezes at the first Gaussian
     whose post-composite T drops below eps, with that Gaussian excluded)
     reduce to a single threshold test on s — no second scan needed:
-      m_g    = (not done) & (s_g >= eps)
-      T_new  = done ? T_pix : min_g( s_g >= eps ? s_g : T_pix )
+      acc_g  = (not done) & (s_g >= eps)
+      T_new  = T_pix * min_g( acc_g ? q_g : 1 )
       done'  = done | (s_last < eps)
-    s only crosses eps at an accepted Gaussian, so this matches the
-    accept-gated recurrence of the reference exactly."""
+    (T_pix factors out of the min; q <= 1 makes the 1-fillers neutral, and
+    done pixels see all-1 fillers so T_new == T_pix.) s only crosses eps at
+    an accepted Gaussian, so this matches the accept-gated recurrence of
+    the reference exactly. Everything accept-shaped stays a bool mask +
+    select (never a 0/1 float multiply chain) — 3 fewer full-size VPU ops
+    per chunk than the mask-arithmetic form."""
     alpha_eff = v["alpha_eff"]
     eps = cfg.transmittance_eps
     q = _incl_prod(1.0 - alpha_eff, chunk)                  # inclusive prod
     s = T_pix * q
     T_g = jnp.concatenate([T_pix, s[:-1]], axis=0)          # exclusive
-    live = jnp.where(done > 0.0, 0.0, 1.0)
-    ok = jnp.where(s >= eps, 1.0, 0.0)
-    m = live * ok
-    w = alpha_eff * m * T_g
-    # T_pix is factored out of the min (q <= 1, so the 1-fillers for rejected
-    # rows are neutral), and the done-gating is folded into the mask (done
-    # pixels see all-1 fillers, so min == 1 and T_new == T_pix). Keeping this
-    # a single multiply avoids adds that Mosaic can't lower on (1, P) rows.
-    T_new = T_pix * jnp.min(q * m + (1.0 - m), axis=0, keepdims=True)
+    acc = (done <= 0.0) & (s >= eps)                        # (chunk, P) bool
+    w = jnp.where(acc, alpha_eff * T_g, 0.0)
+    T_new = T_pix * jnp.min(jnp.where(acc, q, 1.0), axis=0, keepdims=True)
     done_new = jnp.maximum(
         done, jnp.where(s[-1:] < eps, 1.0, 0.0))
-    return dict(T_g=T_g, m=m, w=w, T_new=T_new, done_new=done_new)
+    return dict(T_g=T_g, w=w, T_new=T_new, done_new=done_new)
 
 
 SPAN = 4  # chunks streamed per DMA: amortizes the ~2us DMA issue latency
@@ -221,7 +231,8 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
             c = _composite_core(v, T_pix, done, cfg, chunk)
             acc = acc + jax.lax.dot_general(
                 v["rgb"], c["w"], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=HI)   # (3, P)
+                preferred_element_type=f32,
+                precision=_mm_prec(cfg.feat_carry_bf16))    # (3, P)
             T_pix, done = c["T_new"], c["done_new"]
         color_ref[0] += acc
         return si + 1, T_pix, done
@@ -326,12 +337,13 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         alpha_eff = v["alpha_eff"]
         alpha_raw, op = v["alpha_raw"], v["op"]
         c = _composite_core(v, T_pix, done, cfg, chunk)
-        T_g, m, w = c["T_g"], c["m"], c["w"]
+        T_g, w = c["T_g"], c["w"]
 
         # u = c_g . dC per (gaussian, pixel)
         u = jax.lax.dot_general(
             v["rgb"], dC, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=HI)    # (chunk, P)
+            preferred_element_type=f32,
+            precision=_mm_prec(cfg.grad_carry_bf16))     # (chunk, P)
         uw = u * w
         U_incl = U_run + _incl_scan(uw, chunk)
         S = U_tot - U_incl
@@ -350,7 +362,8 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         # materializing dx/dy products twice.
         M = jax.lax.dot_general(
             dpower, basis, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=HI)    # (chunk, 6)
+            preferred_element_type=f32,
+            precision=_mm_prec(cfg.grad_carry_bf16))     # (chunk, 6)
         M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
         Mxx, Mxy, Myy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
         gxs, gys = v["gxs"], v["gys"]
@@ -370,7 +383,8 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         d_op = M0 / jnp.maximum(op, 1e-30)
         d_rgb = jax.lax.dot_general(
             w, dC, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=HI)    # (chunk, 3)
+            preferred_element_type=f32,
+            precision=_mm_prec(cfg.grad_carry_bf16))     # (chunk, 3)
 
         g = jnp.concatenate(
             [d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_rgb,

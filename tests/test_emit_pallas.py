@@ -11,7 +11,8 @@ import numpy as np
 from gs2mesh_tpu.ops.rasterizer import RasterizerConfig
 from gs2mesh_tpu.ops.rasterizer.emit import (
     DEC_S, _build_tables, _bisect_right, _emit_bwd_tpu, build_feat9,
-    emission_core, emission_decode_pallas, pack2bf16, stuff_ids)
+    emission_core, emission_decode_pallas, pack2bf16, pack_rgb, stuff_ids,
+    unpack_rgb)
 from gs2mesh_tpu.ops.rasterizer.preprocess import preprocess
 from gs2mesh_tpu.ops.rasterizer.tile_render import FEAT
 
@@ -40,7 +41,7 @@ def test_pallas_decode_matches_xla_emission():
     mxs_ref, mys_ref = stuff_ids(em.feat9[:, 0], em.feat9[:, 1], ids)
     p1_ref = pack2bf16(em.feat9[:, 2], em.feat9[:, 3])
     p2_ref = pack2bf16(em.feat9[:, 4], em.feat9[:, 5])
-    p3_ref = pack2bf16(em.feat9[:, 6], em.feat9[:, 7])
+    rgb_ref = pack_rgb(em.feat9[:, 6], em.feat9[:, 7], em.feat9[:, 8])
 
     ctable, _, num_pairs, _, nb128 = _build_tables(
         feat9, prep.depths, prep.rect, prep.tiles_touched, CFG)
@@ -48,7 +49,7 @@ def test_pallas_decode_matches_xla_emission():
     chunk0 = (jnp.arange(C, dtype=jnp.int32) * 128).astype(jnp.float32)
     r_start = _bisect_right(ctable[:, 1], chunk0) - 1
     blk = jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
-    key, mxs, mys, p1, p2, p3, blue = emission_decode_pallas(
+    key, mxs, mys, p1, p2, rgb32 = emission_decode_pallas(
         ctable, blk, num_pairs, CAM.width, CAM.height, CFG)
 
     np.testing.assert_array_equal(np.asarray(key), np.asarray(em.key))
@@ -56,10 +57,17 @@ def test_pallas_decode_matches_xla_emission():
     # the kernel decodes zero rows); only compare real emission slots.
     valid = np.asarray(em.slot_valid)
     for got, ref in ((mxs, mxs_ref), (mys, mys_ref), (p1, p1_ref),
-                     (p2, p2_ref), (p3, p3_ref),
-                     (blue, em.feat9[:, 8])):
+                     (p2, p2_ref), (rgb32, rgb_ref)):
         np.testing.assert_array_equal(np.asarray(got)[valid],
                                       np.asarray(ref)[valid])
+    # The minifloat triple stays within its format's rounding of the bf16
+    # feature values.
+    r, g, b = (np.asarray(x) for x in unpack_rgb(rgb32))
+    for ch, (got, mbits) in enumerate(((r, 6), (g, 6), (b, 5))):
+        ref = np.asarray(em.feat9[:, 6 + ch])[valid]
+        np.testing.assert_allclose(got[valid], ref,
+                                   rtol=2.0 ** (-mbits - 1) + 1e-7,
+                                   atol=2.0 ** -14)
 
 
 def test_bwd_compaction_matches_scatter():

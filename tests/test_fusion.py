@@ -178,6 +178,7 @@ def test_mesh_roundtrip_ply(tmp_path, fused_sphere):
     np.testing.assert_allclose(d.positions, mesh.vertices, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_grow_volume_no_silent_truncation():
     """Start with a tiny block capacity, fuse with grow-on-overflow (the
     tsdf_stage loop), and check the result matches a fusion that had ample

@@ -36,6 +36,7 @@ def _close(got, want, rtol=1e-4, atol=1e-4):
                                rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow
 def test_dlnr_golden(golden):
     from gs2mesh_tpu.stereo import DLNRConfig, dlnr_forward, init_dlnr_params
     from gs2mesh_tpu.stereo.layers import matmul_dtype
@@ -84,11 +85,16 @@ def test_gdino_golden(golden):
 
 def test_sam2_golden(golden):
     from gs2mesh_tpu.sam2 import (SAM2Config, SAM2ImagePredictor,
-                                  init_sam2_params)
-    from gs2mesh_tpu.sam2.model import forward_image
+                                  SAM2VideoPredictor, init_sam2_params)
+    from gs2mesh_tpu.sam2.model import NO_OBJ_SCORE, forward_image
 
     scfg = SAM2Config.tiny(image_size=128)
     sparams = init_sam2_params(scfg, seed=0)
+    # Open the object gate (mirrors the fixture generator) so the pinned
+    # outputs exercise the two-way decoder + memory attention rather than
+    # the NO_OBJ_SCORE fill.
+    sparams["sam_mask_decoder"]["pred_obj_score_head"]["layers"]["2"]["b"] \
+        = jnp.full((1,), 5.0, jnp.float32)
     rng = np.random.default_rng(3)
     rng.uniform(0, 255, (1, 3, 64, 96))
     rng.uniform(0, 255, (1, 3, 64, 96))
@@ -105,6 +111,22 @@ def test_sam2_golden(golden):
     pred = SAM2ImagePredictor(sparams, scfg)
     image = rng.uniform(0, 255, (96, 120, 3)).astype(np.uint8)
     pred.set_image(image)
-    _, ious, _ = pred.predict(point_coords=np.array([[60.0, 48.0]]),
-                              point_labels=np.array([1]))
+    _, ious, low = pred.predict(point_coords=np.array([[60.0, 48.0]]),
+                                point_labels=np.array([1]))
     _close(ious, golden["sam2_ious"], rtol=1e-3, atol=1e-3)
+    low_sub = np.asarray(low).reshape(-1)[::31][:512]
+    # Mask-decoder signal: logits must be REAL decoder output, not the
+    # object-gate fill, and must match the pinned fixture.
+    assert np.all(low_sub > NO_OBJ_SCORE / 2)
+    assert np.std(low_sub) > 1e-3
+    _close(low_sub, golden["sam2_low_masks_sub"], rtol=1e-3, atol=1e-3)
+
+    vid = SAM2VideoPredictor(sparams, scfg)
+    vf = [np.asarray(rng.uniform(0, 255, (96, 120, 3)), np.uint8)
+          for _ in range(2)]
+    state = vid.init_state(frames=vf)
+    vid.add_new_points_or_box(state, frame_idx=0, box=[30, 20, 70, 60])
+    prop = {f: logits for f, _, logits in vid.propagate_in_video(state)}
+    f1_sub = np.asarray(prop[1]).reshape(-1)[::23][:512]
+    assert np.std(f1_sub) > 1e-3
+    _close(f1_sub, golden["sam2_video_f1_sub"], rtol=1e-3, atol=1e-3)

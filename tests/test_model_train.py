@@ -116,6 +116,7 @@ def test_expon_lr_endpoints():
     assert float(expon_lr(100, 1e-2, 1e-4, max_steps=100)) == pytest.approx(1e-4, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_training_overfits_synthetic_scene():
     """Config-1 smoke: optimize a small cloud against golden-rendered targets
     and verify the loss drops and PSNR improves."""

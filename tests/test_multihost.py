@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # long tail: excluded from the default (<5 min) selection
+
 
 def _free_port() -> int:
     s = socket.socket()

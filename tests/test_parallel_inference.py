@@ -7,6 +7,8 @@ TPU slices.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # long tail: excluded from the default (<5 min) selection
+
 import jax
 import jax.numpy as jnp
 

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # long tail: excluded from the default (<5 min) selection
+
 from gs2mesh_tpu.core import colmap_io
 from gs2mesh_tpu.models.gaussians import (GaussianModel, GaussianParams,
                                           GaussianState, inverse_sigmoid)

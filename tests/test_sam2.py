@@ -8,6 +8,8 @@ import pytest
 jnp = pytest.importorskip("jax.numpy")
 import jax
 
+pytestmark = pytest.mark.slow  # 17s module setup + heavy calls; default SAM2 coverage lives in test_golden_fixtures
+
 from gs2mesh_tpu.sam2 import SAM2Config, SAM2ImagePredictor, SAM2VideoPredictor, init_sam2_params
 
 IMG = 128

@@ -11,6 +11,7 @@ from gs2mesh_tpu.train.trainer import TrainConfig, make_optimizer, make_train_st
 from tests.scenes import look_at_camera, sphere_scene
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_step_matches_single_chip():
     """2x4 (data x gauss) mesh step == single-chip DP-equivalent update."""

@@ -64,15 +64,18 @@ def capture():
     out["gdino_logits_sub"] = np.asarray(o["pred_logits"])[:, :, :8]
     out["gdino_boxes"] = np.asarray(o["pred_boxes"])
 
-    # --- SAM2 (tiny config): encoder features + predictor IoU head.
-    # (With random weights the object-score head gates the mask logits to
-    # NO_OBJ_SCORE, so raw low-res masks are degenerate; the encoder feature
-    # maps + IoU predictions carry the regression signal instead.)
+    # --- SAM2 (tiny config): encoder features + predictor IoU head + the
+    # full mask path. Random weights alone leave the object-score head near
+    # zero and the gate closed (mask logits pinned to NO_OBJ_SCORE, no
+    # decoder signal); biasing the head's last layer opens the gate so the
+    # fixture pins REAL two-way-decoder and memory-attention outputs.
     from gs2mesh_tpu.sam2 import (SAM2Config, SAM2ImagePredictor,
-                                  init_sam2_params)
+                                  SAM2VideoPredictor, init_sam2_params)
     from gs2mesh_tpu.sam2.model import forward_image
     scfg = SAM2Config.tiny(image_size=128)
     sparams = init_sam2_params(scfg, seed=0)
+    sparams["sam_mask_decoder"]["pred_obj_score_head"]["layers"]["2"]["b"] \
+        = jnp.full((1,), 5.0, jnp.float32)          # object gate OPEN
     img128 = jnp.asarray(
         rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
     feats = jax.jit(lambda p, i: forward_image(p, scfg, i))(sparams, img128)
@@ -83,9 +86,20 @@ def capture():
     pred = SAM2ImagePredictor(sparams, scfg)
     image = rng.uniform(0, 255, (96, 120, 3)).astype(np.uint8)
     pred.set_image(image)
-    _, ious, _ = pred.predict(point_coords=np.array([[60.0, 48.0]]),
-                              point_labels=np.array([1]))
+    masks, ious, low = pred.predict(point_coords=np.array([[60.0, 48.0]]),
+                                    point_labels=np.array([1]))
     out["sam2_ious"] = np.asarray(ious)
+    out["sam2_low_masks_sub"] = np.asarray(low).reshape(-1)[::31][:512]
+
+    # Video propagation: frame 1's logits flow through memory encoding of
+    # frame 0 + memory attention + the two-way decoder.
+    vid = SAM2VideoPredictor(sparams, scfg)
+    vf = [np.asarray(rng.uniform(0, 255, (96, 120, 3)), np.uint8)
+          for _ in range(2)]
+    state = vid.init_state(frames=vf)
+    vid.add_new_points_or_box(state, frame_idx=0, box=[30, 20, 70, 60])
+    prop = {f: logits for f, _, logits in vid.propagate_in_video(state)}
+    out["sam2_video_f1_sub"] = np.asarray(prop[1]).reshape(-1)[::23][:512]
 
     return out
 

@@ -74,7 +74,7 @@ def main():
     def sort_full(k, pl_):
         return jax.lax.sort((k,) + pl_, num_keys=1, is_stable=False)
 
-    sorted_ = timeit("fwd: lax.sort key+6", jax.jit(sort_full), key, payload)
+    sorted_ = timeit("fwd: lax.sort key+5", jax.jit(sort_full), key, payload)
 
     def sort_key_only(k):
         return jax.lax.sort((k,), num_keys=1, is_stable=False)
@@ -90,10 +90,10 @@ def main():
         key_s = s[0]
         mxl, myl, ids_sorted = E.unstuff_ids(s[1], s[2])
         cols = [mxl, myl]
-        for p in s[3:6]:
+        for p in s[3:5]:
             x, y = E.unpack2bf16(p)
             cols += [x, y]
-        cols.append(s[6])
+        cols.extend(E.unpack_rgb(s[5]))
         pair_feat = jnp.concatenate(
             [c.reshape(K // chunk, 1, chunk) for c in cols]
             + [jnp.zeros((K // chunk, 16 - 9, chunk), f32)], axis=1)
