@@ -52,6 +52,12 @@ class RasterizerConfig:
     # scenes (contiguous bands give middle devices several times the edge
     # devices' load). 1 = identity (single chip).
     row_stride: int = 1
+    # Testing escape hatch: run the production Pallas paths (fused emission
+    # decode + tile compositors) in interpret mode off-TPU, e.g. on the
+    # 8-virtual-device CPU mesh, so multi-chip tests exercise the REAL
+    # kernels including the strided (row_stride > 1) decode. Production
+    # code never sets this; on TPU it is a no-op.
+    force_pallas: bool = False
     # Backward cotangent compaction: chunks whose cotangents are exactly
     # zero (early-termination zero-fill) are dropped before the per-gaussian
     # reduction sort. Static capacity as a fraction of pair chunks; when the

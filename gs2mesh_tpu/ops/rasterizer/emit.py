@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
-from gs2mesh_tpu.ops.rasterizer.tile_render import FEAT
+from gs2mesh_tpu.ops.rasterizer.tile_render import FEAT, PAD_CHUNKS
 
 f32 = jnp.float32
 i32 = jnp.int32
@@ -186,7 +186,7 @@ def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
 
 def _decode_kernel(blk_ref, np_ref, ctab_hbm,
                    key_ref, mxs_ref, mys_ref, p1_ref, p2_ref, rgb_ref,
-                   wbuf, sems,
+                   wbuf, dbuf, fbuf, sems,
                    *, gx: int, num_tiles: int, tb: int, tile: int,
                    nsteps: int, cfg: RasterizerConfig):
     """One grid step decodes DEC_S consecutive 128-slot emission chunks.
@@ -226,10 +226,15 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
     # rows while the sort key keeps the LOCAL tile id.
     row_off_f = np_ref[1].astype(f32)
     stride_f = f32(cfg.row_stride)
-    lane = jax.lax.broadcasted_iota(i32, (1, 128), 1)
     sub = jax.lax.broadcasted_iota(i32, (128, 1), 0)
     tile_f = f32(tile)
 
+    # Phase 1 — per-chunk one-hot decode. Only the matmuls are chunk-bound
+    # (each chunk contracts against its own table window); their (8, 128)
+    # outputs land in a (8, DEC_S, 128) VMEM stack so phase 2 can run the
+    # whole per-slot pipeline ONCE at (DEC_S, 128) width instead of DEC_S
+    # times at (1, 128) — 1/8-sublane-wide VPU ops were the kernel's
+    # dominant cost, not the matmuls.
     for j in range(DEC_S):
         c = sc * DEC_S + j
         off = (blk_ref[c] - blk_ref[sc * DEC_S]) * 128
@@ -237,93 +242,96 @@ def _decode_kernel(blk_ref, np_ref, ctab_hbm,
         eo = win[1:2, :]                                   # (1, W) offsets
 
         slot_col = (c * 128 + sub).astype(f32)             # (128, 1)
-        slot_f = (c * 128 + lane).astype(f32)              # (1, 128)
         step = (eo <= slot_col).astype(f32)                # (128, W)
         onehot = step - jnp.concatenate(
             [step[:, 1:], jnp.zeros((128, 1), f32)], axis=1)
         # NT-matmuls: contract the lane (window) dim of BOTH operands —
         # (8, W) x (128, W) -> (8, 128): features land on sublanes, slots
-        # on lanes, so all per-slot math below runs full-lane. Split by
-        # precision: the first NEXACT table rows (ids/offsets/geometry)
-        # need the 6-pass exact-f32 path, the feature rows are already
-        # bf16-rounded (_build_tables) so a single-pass bf16 matmul decodes
-        # them exactly.
-        dec = jax.lax.dot_general(
+        # on lanes. Split by precision: the first NEXACT table rows
+        # (ids/offsets/geometry) need the 6-pass exact-f32 path, the
+        # feature rows are already bf16-rounded (_build_tables) so a
+        # single-pass bf16 matmul decodes them exactly.
+        dbuf[:, j, :] = jax.lax.dot_general(
             win[:NEXACT], onehot, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=HI)      # (8, 128)
-        onehot_h = onehot.astype(jnp.bfloat16)
-        decf = jax.lax.dot_general(
-            win[NEXACT:].astype(jnp.bfloat16), onehot_h,
+        fbuf[:, j, :] = jax.lax.dot_general(
+            win[NEXACT:].astype(jnp.bfloat16), onehot.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
             preferred_element_type=f32)                    # (8, 128)
 
-        rid = dec[0:1]
-        offv = dec[1:2]
-        x0, y0, rw = dec[2:3], dec[3:4], dec[4:5]
-        depth = dec[5:6]
-        mx, my = dec[6:7], dec[7:8]
-        ca, cb, cc = decf[0:1], decf[1:2], decf[2:3]
-        op = decf[3:4]
-        r, g, b = decf[4:5], decf[5:6], decf[6:7]
+    # Phase 2 — full-width per-slot math over all DEC_S chunks at once.
+    rid = dbuf[0]                                          # (DEC_S, 128)
+    offv = dbuf[1]
+    x0, y0, rw = dbuf[2], dbuf[3], dbuf[4]
+    depth = dbuf[5]
+    mx, my = dbuf[6], dbuf[7]
+    ca, cb, cc = fbuf[0], fbuf[1], fbuf[2]
+    op = fbuf[3]
+    r, g, b = fbuf[4], fbuf[5], fbuf[6]
 
-        local = slot_f - offv                              # f32-exact ints
-        rwm = jnp.maximum(rw, 1.0)
-        q = jnp.floor(local / rwm)      # exact floor: ints < 2^24, rw < 64
-        txf = x0 + (local - q * rwm)
-        tyf = y0 + q
+    row_i = jax.lax.broadcasted_iota(i32, (DEC_S, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(i32, (DEC_S, 128), 1)
+    slots = (sc * DEC_S + row_i) * 128 + lane_i            # global slot ids
+    slot_f = slots.astype(f32)
 
-        # Exact alpha-cut pair cull (see emission_core for the derivation).
-        tyg = row_off_f + tyf * stride_f                   # global tile row
-        x_lo = txf * tile_f - mx
-        x_hi = x_lo + (tile_f - 1.0)
-        y_lo = tyg * tile_f - my
-        y_hi = y_lo + (tile_f - 1.0)
+    local = slot_f - offv                                  # f32-exact ints
+    rwm = jnp.maximum(rw, 1.0)
+    q = jnp.floor(local / rwm)          # exact floor: ints < 2^24, rw < 64
+    txf = x0 + (local - q * rwm)
+    tyf = y0 + q
 
-        def qval(dx, dy):
-            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    # Exact alpha-cut pair cull (see emission_core for the derivation).
+    tyg = row_off_f + tyf * stride_f                       # global tile row
+    x_lo = txf * tile_f - mx
+    x_hi = x_lo + (tile_f - 1.0)
+    y_lo = tyg * tile_f - my
+    y_hi = y_lo + (tile_f - 1.0)
 
-        def edge_x(dx):
-            dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), y_lo, y_hi)
-            return qval(dx, dy)
+    def qval(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
 
-        def edge_y(dy):
-            dx = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12), x_lo, x_hi)
-            return qval(dx, dy)
+    def edge_x(dx):
+        dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), y_lo, y_hi)
+        return qval(dx, dy)
 
-        inside = (x_lo <= 0) & (0 <= x_hi) & (y_lo <= 0) & (0 <= y_hi)
-        qmin = jnp.minimum(jnp.minimum(edge_x(x_lo), edge_x(x_hi)),
-                           jnp.minimum(edge_y(y_lo), edge_y(y_hi)))
-        qmin = jnp.where(inside, 0.0, qmin)
-        alive = op * jnp.exp(-qmin) >= 0.98 / 255.0
+    def edge_y(dy):
+        dx = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12), x_lo, x_hi)
+        return qval(dx, dy)
 
-        valid = (c * 128 + lane) < npairs
-        tile_id = jnp.where(
-            valid & alive, (tyf * gx + txf).astype(i32), num_tiles)
+    inside = (x_lo <= 0) & (0 <= x_hi) & (y_lo <= 0) & (0 <= y_hi)
+    qmin = jnp.minimum(jnp.minimum(edge_x(x_lo), edge_x(x_hi)),
+                       jnp.minimum(edge_y(y_lo), edge_y(y_hi)))
+    qmin = jnp.where(inside, 0.0, qmin)
+    alive = op * jnp.exp(-qmin) >= 0.98 / 255.0
 
-        dbits = jax.lax.bitcast_convert_type(depth, u32) >> tb
-        key = (tile_id.astype(u32) << (32 - tb)) | dbits
+    valid = slots < npairs
+    tile_id = jnp.where(
+        valid & alive, (tyf * gx + txf).astype(i32), num_tiles)
 
-        # Tile-local means with the gaussian id riding the low mantissa bits.
-        # Dead slots (beyond num_pairs) carry the 2^22-1 sentinel id exactly
-        # like the XLA path, so the backward never attributes a cotangent to
-        # a real gaussian even if a compositor change stopped zero-filling
-        # dead-slot cotangents. (Alpha-culled pairs keep their real id; the
-        # sentinel tile routes them past every render kernel.)
-        idu = jnp.where(valid, rid.astype(i32).astype(u32),
-                        u32((1 << 22) - 1))
-        mxl = mx - txf * tile_f
-        myl = my - tyg * tile_f
-        ux = ((jax.lax.bitcast_convert_type(mxl, u32) & u32(IDKEEP))
-              | (idu & u32(IDMASK)))
-        uy = ((jax.lax.bitcast_convert_type(myl, u32) & u32(IDKEEP))
-              | ((idu >> 11) & u32(IDMASK)))
+    dbits = jax.lax.bitcast_convert_type(depth, u32) >> tb
+    key = (tile_id.astype(u32) << (32 - tb)) | dbits
 
-        key_ref[j, :] = key[0]
-        mxs_ref[j, :] = ux[0]
-        mys_ref[j, :] = uy[0]
-        p1_ref[j, :] = pack2bf16(ca, cb)[0]
-        p2_ref[j, :] = pack2bf16(cc, op)[0]
-        rgb_ref[j, :] = pack_rgb(r, g, b)[0]
+    # Tile-local means with the gaussian id riding the low mantissa bits.
+    # Dead slots (beyond num_pairs) carry the 2^22-1 sentinel id exactly
+    # like the XLA path, so the backward never attributes a cotangent to
+    # a real gaussian even if a compositor change stopped zero-filling
+    # dead-slot cotangents. (Alpha-culled pairs keep their real id; the
+    # sentinel tile routes them past every render kernel.)
+    idu = jnp.where(valid, rid.astype(i32).astype(u32),
+                    u32((1 << 22) - 1))
+    mxl = mx - txf * tile_f
+    myl = my - tyg * tile_f
+    ux = ((jax.lax.bitcast_convert_type(mxl, u32) & u32(IDKEEP))
+          | (idu & u32(IDMASK)))
+    uy = ((jax.lax.bitcast_convert_type(myl, u32) & u32(IDKEEP))
+          | ((idu >> 11) & u32(IDMASK)))
+
+    key_ref[...] = key
+    mxs_ref[...] = ux
+    mys_ref[...] = uy
+    p1_ref[...] = pack2bf16(ca, cb)
+    p2_ref[...] = pack2bf16(cc, op)
+    rgb_ref[...] = pack_rgb(r, g, b)
 
 
 def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
@@ -350,6 +358,8 @@ def emission_decode_pallas(ctable, blk, num_pairs, width: int, height: int,
                                 memory_space=pltpu.VMEM)] * 6,
         scratch_shapes=[
             pltpu.VMEM((2, 16, WINPAD), f32),
+            pltpu.VMEM((NEXACT, DEC_S, 128), f32),
+            pltpu.VMEM((16 - NEXACT, DEC_S, 128), f32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -631,10 +641,12 @@ def unstuff_ids(ux: jnp.ndarray, uy: jnp.ndarray):
 # Per-gaussian cotangent reduction (the backward of the feature carry).
 # ---------------------------------------------------------------------------
 
-SPAN = 8   # chunks fetched per DMA (covers a typical block in one span)
-NBB = 8    # gaussian blocks reduced per grid step (amortizes the per-step
-           # overhead that dominated the one-block-per-step layout: ~5.7us
-           # per step of ~1us of work, measured on v5e)
+SPAN = 16  # chunks fetched per DMA (covers a typical block in one span)
+GW = 512   # gaussians per reduction block: wide blocks cut the number of
+           # DMA chains / block overheads 4x vs 128-wide blocks (the extra
+           # one-hot width is nearly free on the MXU at bf16)
+NBB = 2    # gaussian blocks reduced per grid step (cross-block prefetch
+           # pipelining; VMEM holds NBB+1 span buffers)
 IDCOL = FEAT - 1  # gaussian ids ride the spare last feature column
                   # (bitcast i32) so each span needs ONE DMA stream
 
@@ -642,7 +654,7 @@ IDCOL = FEAT - 1  # gaussian ids ride the spare last feature column
 def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
                    ctbuf, sems, *, chunk: int, nb_total: int,
                    bf16_mm: bool):
-    """Per-128-Gaussian-block segmented sum via one-hot matmuls.
+    """Per-GW-Gaussian-block segmented sum via one-hot matmuls.
 
     NBB blocks per grid step. Block b's id-sorted cotangent chunks stream
     through slot b % (NBB+1); its FIRST span is prefetched while the
@@ -652,7 +664,9 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
     exactly once (empty blocks still wait their prefetched span). Boundary
     chunks shared between adjacent blocks are visited by both; the one-hot
     comparison against the block's own gaussian ids (riding feature row
-    IDCOL) keeps the contributions disjoint."""
+    IDCOL) keeps the contributions disjoint. The span loop is a STATIC
+    unroll (SPAN per-chunk compare+matmul pairs gated by a scalar limit) —
+    no dynamic-trip fori overhead on the hot path."""
     s = pl.program_id(0)
     nslots = NBB + 1
 
@@ -670,8 +684,8 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
         b = s * NBB + bi
         slot = jax.lax.rem(b, nslots)
         nc = nc_ref[b]
-        g0 = b * chunk
-        gcol = g0 + jax.lax.broadcasted_iota(i32, (1, chunk), 1)
+        g0 = b * GW
+        gcol = g0 + jax.lax.broadcasted_iota(i32, (1, GW), 1)
 
         # Prefetch the NEXT block's first span before this block's compute.
         @pl.when(b + 1 < nb_total)
@@ -680,32 +694,34 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
 
         dma(b, 0).wait()
 
-        def sub(j, acc, nc=nc, slot=slot, gcol=gcol):
-            live = jnp.where(j < nc, 1.0, 0.0)
-            ids = jax.lax.bitcast_convert_type(
-                ctbuf[slot, j, IDCOL:IDCOL + 1, :], i32)   # (1, chunk)
-            onehot = (ids.T == gcol).astype(f32) * live    # (pair, gauss)
-            if bf16_mm:
-                # grad_carry_bf16 mode: every cotangent column already
-                # rode the id sort bf16-rounded, so casting the matmul
-                # operands to bf16 is LOSSLESS for them (one-hot 0/1 is
-                # exact; products of bf16 values are exact in the f32
-                # accumulator) and swaps the 6-pass exact-f32 MXU path
-                # for a single bf16 pass. The bitcast-id row flushes to
-                # zero as a bf16 denormal — its output column is junk
-                # either way (sliced off by the caller).
-                return acc + jax.lax.dot_general(
-                    onehot.astype(jnp.bfloat16),
-                    ctbuf[slot, j].astype(jnp.bfloat16),
-                    (((0,), (1,)), ((), ())),
-                    preferred_element_type=f32)            # (gauss, FEAT)
-            return acc + jax.lax.dot_general(
-                onehot, ctbuf[slot, j], (((0,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=HI)  # (gauss, FEAT)
+        def span_sum(lim, acc, slot=slot, gcol=gcol):
+            """Statically-unrolled reduction of one span: chunks j < lim."""
+            for j in range(SPAN):
+                ids = jax.lax.bitcast_convert_type(
+                    ctbuf[slot, j, IDCOL:IDCOL + 1, :], i32)  # (1, chunk)
+                hit = (ids.T == gcol) & (j < lim)             # (pair, gauss)
+                if bf16_mm:
+                    # grad_carry_bf16 mode: every cotangent column already
+                    # rode the id sort bf16-rounded, so bf16 matmul operands
+                    # are LOSSLESS for them (one-hot 0/1 exact; bf16
+                    # products exact in the f32 accumulator): single MXU
+                    # pass instead of the 6-pass exact-f32 path. The
+                    # bitcast-id row flushes to zero as a bf16 denormal —
+                    # its output column is junk either way (sliced off by
+                    # the caller).
+                    acc = acc + jax.lax.dot_general(
+                        hit.astype(jnp.bfloat16),
+                        ctbuf[slot, j].astype(jnp.bfloat16),
+                        (((0,), (1,)), ((), ())),
+                        preferred_element_type=f32)           # (gauss, FEAT)
+                else:
+                    acc = acc + jax.lax.dot_general(
+                        hit.astype(f32), ctbuf[slot, j],
+                        (((0,), (1,)), ((), ())),
+                        preferred_element_type=f32, precision=HI)
+            return acc
 
-        acc = jax.lax.fori_loop(
-            0, jnp.minimum(nc, SPAN), lambda j, a: sub(j, a),
-            jnp.zeros((chunk, FEAT), f32))
+        acc = span_sum(nc, jnp.zeros((GW, FEAT), f32))
 
         # Rare tail: blocks spanning more than SPAN chunks reload inline.
         nspans = (nc + SPAN - 1) // SPAN
@@ -714,11 +730,7 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
             d = dma(b, si)
             d.start()
             d.wait()
-            lim = jnp.minimum(nc - si * SPAN, SPAN)
-            return jax.lax.fori_loop(
-                0, lim,
-                lambda j, a: sub(j, a, nc=nc - si * SPAN, slot=slot,
-                                 gcol=gcol), acc)
+            return span_sum(nc - si * SPAN, acc, slot=slot, gcol=gcol)
 
         acc = jax.lax.fori_loop(1, nspans, extra, acc)
         out_ref[bi] = acc
@@ -727,7 +739,8 @@ def _segsum_kernel(c0_ref, nc_ref, ct_hbm, out_ref,
 def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
                     cfg: RasterizerConfig):
     """(KC, FEAT, chunk) id-sorted cotangents (gaussian ids bitcast into row
-    IDCOL) -> (n_rows, FEAT)."""
+    IDCOL) -> (n_rows, FEAT). block_c0/block_nc are the per-GW-gaussian-block
+    chunk ranges in the id-sorted stream."""
     chunk = cfg.chunk
     NB = block_c0.shape[0]
     NBp = -(-NB // NBB) * NBB
@@ -736,14 +749,14 @@ def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
         block_c0 = jnp.concatenate([block_c0, jnp.zeros((pad,), i32)])
         block_nc = jnp.concatenate([block_nc, jnp.zeros((pad,), i32)])
     # Tail-pad so a SPAN-sized DMA starting at the last chunk stays in
-    # bounds (masked out of the matmuls by the `live` factor).
+    # bounds (masked out of the matmuls by the per-chunk limit gate).
     ct3d = jnp.concatenate(
         [ct3d, jnp.zeros((SPAN, FEAT, chunk), f32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(NBp // NBB,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[pl.BlockSpec((NBB, chunk, FEAT), lambda s, *_: (s, 0, 0),
+        out_specs=[pl.BlockSpec((NBB, GW, FEAT), lambda s, *_: (s, 0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[
             pltpu.VMEM((NBB + 1, SPAN, FEAT, chunk), f32),
@@ -754,12 +767,12 @@ def segment_sum_tpu(ct3d, block_c0, block_nc, n_rows: int,
         functools.partial(_segsum_kernel, chunk=chunk, nb_total=NBp,
                           bf16_mm=cfg.grad_carry_bf16),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NBp, chunk, FEAT), f32)],
+        out_shape=[jax.ShapeDtypeStruct((NBp, GW, FEAT), f32)],
         interpret=jax.default_backend() != "tpu",
     )(block_c0, block_nc, ct3d)[0]
-    out = out.reshape(NBp * chunk, FEAT)
+    out = out.reshape(NBp * GW, FEAT)
     drows = jnp.zeros((n_rows, FEAT), f32)
-    take = min(NBp * chunk, n_rows)
+    take = min(NBp * GW, n_rows)
     return drows.at[:take].set(out[:take])
 
 
@@ -782,7 +795,8 @@ def emit_sorted_pairs(feat9, depths, rect, tiles_touched,
 
 
 def _use_pallas_decode(cfg: RasterizerConfig) -> bool:
-    return (jax.default_backend() == "tpu" and cfg.feat_carry_bf16
+    return ((jax.default_backend() == "tpu" or cfg.force_pallas)
+            and cfg.feat_carry_bf16
             and cfg.chunk == 128
             and cfg.pair_capacity % (128 * DEC_S) == 0)
 
@@ -842,6 +856,10 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg,
     pair_feat = jnp.concatenate(
         [c.reshape(K // chunk, 1, chunk) for c in cols]
         + [jnp.zeros((K // chunk, FEAT - NCOLS, chunk), f32)], axis=1)
+    # Span-DMA overrun pad, baked into this materialization (the render
+    # kernels index chunks past a tile's last chunk by up to one span).
+    pair_feat = jnp.concatenate(
+        [pair_feat, jnp.zeros((PAD_CHUNKS, FEAT, chunk), f32)], axis=0)
 
     tile_starts, tile_counts = tile_ranges_from_sorted_keys(key_s, num_tiles)
     ids_sorted = ids_sorted.astype(i32)
@@ -862,13 +880,15 @@ def _reduce_sorted_cts(ct3d, ids2d, n_rows: int, cfg: RasterizerConfig):
     Kc = NCH * chunk
     cols = tuple(ct3d[:, j, :].reshape(Kc) for j in range(NCOLS))
     payload = _pack_cols(cols, cfg.grad_carry_bf16)
+    # Unstable: the per-gaussian segment SUM is order-invariant up to f32
+    # reassociation, and TPU lax.sort is deterministic either way.
     sorted_ = jax.lax.sort((ids2d.reshape(Kc),) + payload, num_keys=1,
-                           is_stable=True)
+                           is_stable=False)
     ids_s = sorted_[0]
     ecols = _unpack_cols(sorted_[1:], cfg.grad_carry_bf16)
-    # Per-128-gaussian-block chunk ranges in the id-sorted stream.
-    nb = -(-n_rows // chunk)
-    bounds = jnp.arange(nb + 1, dtype=i32) * chunk
+    # Per-GW-gaussian-block chunk ranges in the id-sorted stream.
+    nb = -(-n_rows // GW)
+    bounds = jnp.arange(nb + 1, dtype=i32) * GW
     edges = _bisect_left_i32(ids_s, bounds)                # (nb+1,)
     start, end = edges[:-1], edges[1:]
     block_c0 = start // chunk
@@ -896,7 +916,9 @@ def _emit_bwd_tpu(ct3d, ids_sorted, n_rows: int, cfg: RasterizerConfig):
     cap = min(KC, max(256, int(KC * cfg.bwd_compact_frac)))
     if cap >= KC:
         return _reduce_sorted_cts(ct3d, ids2d, n_rows, cfg)
-    nz = jnp.max(jnp.abs(ct3d), axis=(1, 2)) > 0.0     # (KC,)
+    # Rows NCOLS..FEAT-1 are structurally zero in every cotangent the
+    # render backward emits, so the liveness reduce reads 9/16 of the bytes.
+    nz = jnp.max(jnp.abs(ct3d[:, :NCOLS]), axis=(1, 2)) > 0.0   # (KC,)
     nv = jnp.sum(nz.astype(i32))
     pos = jnp.cumsum(nz.astype(i32)) - 1
     # Visited-chunk index list; unfilled tail points at the appended
@@ -923,6 +945,7 @@ def _emit_bwd(width, height, cfg, res, cot):
     n_rows, ids_sorted = res
     ct3d, _ = cot                                          # aux is int-typed
     K = cfg.pair_capacity
+    ct3d = ct3d[:K // cfg.chunk]       # drop the span-DMA overrun pad
     if jax.default_backend() == "tpu":
         drows = _emit_bwd_tpu(ct3d, ids_sorted, n_rows, cfg)
     else:

@@ -166,11 +166,16 @@ def _composite_core(v, T_pix, done, cfg: RasterizerConfig, chunk: int):
     T_new = T_pix * jnp.min(jnp.where(acc, q, 1.0), axis=0, keepdims=True)
     done_new = jnp.maximum(
         done, jnp.where(s[-1:] < eps, 1.0, 0.0))
-    return dict(T_g=T_g, w=w, T_new=T_new, done_new=done_new)
+    return dict(T_g=T_g, w=w, T_new=T_new, done_new=done_new, acc=acc)
 
 
-SPAN = 4  # chunks streamed per DMA: amortizes the ~2us DMA issue latency
-          # that otherwise dominates (per-chunk compute is ~0.7us on v5e)
+# SPAN must never exceed tile_render.PAD_CHUNKS (emit bakes that many zero
+# chunks after the last pair chunk for span-DMA overrun).
+SPAN = 1  # chunks streamed per DMA. Early exit quantizes to one span, so a
+          # tile wastes (SPAN/2 - 0.5) chunks of full-width math on average
+          # past its true exit point; at 540 tiles and ~2-4us per chunk the
+          # finer granularity beats the extra DMA-issue overhead (measured
+          # on v5e: SPAN=2 < SPAN=4 on the bench scene).
 
 
 def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
@@ -348,11 +353,15 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         U_incl = U_run + _incl_scan(uw, chunk)
         S = U_tot - U_incl
 
-        # accept = m & (alpha_eff > 0); w = alpha*m*T_g > 0 iff both hold
-        # (T_g > 0 always), so ONE compare recovers it.
-        acc = jnp.where(w > 0.0, 1.0, 0.0)
+        # The reference gates dalpha on acceptance AND alpha > threshold;
+        # alpha_eff == 0 rows contribute dalpha * alpha_raw == dpower == 0
+        # through the w == 0 weight anyway, so the composite accept mask
+        # (reused, not recomputed) is the only gate needed... except that
+        # alpha-rejected rows have w == 0 but acc true; their dalpha would
+        # be nonzero noise flowing into dpower. Gate on w > 0 exactly as
+        # before but as a single fused select.
         inv1m = 1.0 / (1.0 - alpha_eff)
-        dalpha = acc * (u * T_g - S * inv1m)
+        dalpha = jnp.where(w > 0.0, u * T_g - S * inv1m, 0.0)
 
         dpower = dalpha * alpha_raw                      # = op * dalpha * G
 
@@ -495,12 +504,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pad_spans(pair_feat):
-    """Tail-pad by SPAN zero chunks so span DMAs past a tile's last chunk
-    stay in bounds (the extra rows are masked by the in-kernel row mask)."""
-    return jnp.concatenate(
-        [pair_feat,
-         jnp.zeros((SPAN,) + pair_feat.shape[1:], pair_feat.dtype)], axis=0)
 
 
 def _fwd_call(pair_feat, tile_starts, tile_counts, gx: int, gy: int,
@@ -530,7 +533,7 @@ def _fwd_call(pair_feat, tile_starts, tile_counts, gx: int, gy: int,
             jax.ShapeDtypeStruct((num_tiles, 1, P), f32),
         ],
         interpret=_interpret(),
-    )(tile_starts, tile_counts, _pad_spans(pair_feat))
+    )(tile_starts, tile_counts, pair_feat)
     return color, finalT[:, 0, :]
 
 
@@ -574,7 +577,7 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
         out_shape=[jax.ShapeDtypeStruct((KC, FEAT, cfg.chunk), f32),
                    jax.ShapeDtypeStruct((num_tiles,), jnp.int32)],
         interpret=_interpret(),
-    )(tile_starts, tile_counts, _pad_spans(pair_feat), color,
+    )(tile_starts, tile_counts, pair_feat, color,
       finalT[:, None, :], dC, dTf[:, None, :])
     return dpairs, ndone
 

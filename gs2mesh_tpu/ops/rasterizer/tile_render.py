@@ -27,6 +27,11 @@ import jax.numpy as jnp
 from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
 
 FEAT = 16  # padded feature width (TPU-friendly)
+PAD_CHUNKS = 4  # zero chunks appended after the last pair chunk so the
+                # render kernels' span-granular DMAs never run out of
+                # bounds (== pallas_kernels.SPAN). emit bakes the pad into
+                # its output materialization; padding later would cost a
+                # full extra copy of the pair array.
 
 
 def pair_features_2d(pairs3d: jnp.ndarray) -> jnp.ndarray:

@@ -70,6 +70,41 @@ def test_pallas_decode_matches_xla_emission():
                                    atol=2.0 ** -14)
 
 
+def test_pallas_decode_strided_matches_xla_emission():
+    """The STRIDED decode (row_stride=G>1, row_offset!=0 — the sharded
+    tile-row-ownership mapping) must match the XLA emission path bit-for-bit
+    too. VERDICT r3: this configuration had never executed anywhere (stride
+    > 1 only arises on G>1 meshes and the decode was TPU-gated)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, row_stride=4)
+    prep = _scene_prep()
+    feat9 = build_feat9(prep)
+
+    em = emission_core(feat9, prep.depths, prep.rect, prep.tiles_touched,
+                       CAM.width, CAM.height, cfg, row_offset=1)
+    ids = jnp.where(em.slot_valid, em.g, (1 << 22) - 1)
+    mxs_ref, mys_ref = stuff_ids(em.feat9[:, 0], em.feat9[:, 1], ids)
+    rgb_ref = pack_rgb(em.feat9[:, 6], em.feat9[:, 7], em.feat9[:, 8])
+
+    ctable, _, num_pairs, _, nb128 = _build_tables(
+        feat9, prep.depths, prep.rect, prep.tiles_touched, cfg)
+    C = cfg.pair_capacity // 128
+    chunk0 = (jnp.arange(C, dtype=jnp.int32) * 128).astype(jnp.float32)
+    r_start = _bisect_right(ctable[:, 1], chunk0) - 1
+    blk = jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
+    key, mxs, mys, p1, p2, rgb32 = emission_decode_pallas(
+        ctable, blk, num_pairs, CAM.width, CAM.height, cfg, row_offset=1)
+
+    np.testing.assert_array_equal(np.asarray(key), np.asarray(em.key))
+    valid = np.asarray(em.slot_valid)
+    for got, ref in ((mxs, mxs_ref), (mys, mys_ref), (rgb32, rgb_ref),
+                     (p1, pack2bf16(em.feat9[:, 2], em.feat9[:, 3])),
+                     (p2, pack2bf16(em.feat9[:, 4], em.feat9[:, 5]))):
+        np.testing.assert_array_equal(np.asarray(got)[valid],
+                                      np.asarray(ref)[valid])
+
+
 def test_bwd_compaction_matches_scatter():
     """_emit_bwd_tpu (compaction + id sort + MXU segment sum) must agree
     with a plain scatter-add. (At this tiny KC the 256-chunk compaction

@@ -180,6 +180,54 @@ def test_tile_sharding_divides_compositing_work():
     assert pairs.max() <= 0.75 * total
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_pallas_interpret_matches_xla():
+    """The PRODUCTION Pallas path — fused emission decode (strided:
+    row_stride=G=4, per-device row_offset) + tile compositors fwd AND bwd —
+    on a 4-device mesh via interpret mode. A full train step must agree
+    with the XLA-fallback step: both consume the same sorted pair stream
+    (decode bit-parity is pinned separately), so loss and updated params
+    differ only by compositor float-op order."""
+    import dataclasses
+    from gs2mesh_tpu.ops.rasterizer.emit import _use_pallas_decode
+
+    scene = sphere_scene(n=300, seed=11)
+    cam = look_at_camera((0, 0, -3.0), width=128, height=128)  # gy = 4 rows
+    cfg = TrainConfig(sh_degree=0)
+    rng = np.random.default_rng(5)
+    pts = scene["means3d"]
+    model = GaussianModel.from_point_cloud(
+        pts, rng.uniform(0.2, 0.8, (len(pts), 3)).astype(np.float32),
+        max_sh_degree=0, capacity=512)
+    tx = make_optimizer(cfg, model.spatial_lr_scale)
+    opt_state = tx.init(model.params)
+    mesh = make_mesh(data=1, gauss=4)
+    target = jnp.full((1, 3, 128, 128), 0.3, jnp.float32)
+
+    def run(impl, force):
+        rcfg = RasterizerConfig(pair_capacity=1 << 13, force_pallas=force)
+        if force:  # the strided production config must take the Pallas path
+            assert _use_pallas_decode(
+                dataclasses.replace(rcfg, row_stride=4))
+        step = make_sharded_train_step(mesh, tx, model.capacity, cam, cfg,
+                                       rcfg, 0, impl=impl,
+                                       max_per_tile=4096)
+        return step(model.params, opt_state, model.state,
+                    batch_cameras([cam]), target, jnp.zeros(3))
+
+    ref = run("xla", False)
+    got = run("pallas", True)
+    assert not bool(got.overflow) and not bool(got.tile_overflow)
+    assert int(np.asarray(got.pairs_per_device).sum()) \
+        == int(np.asarray(ref.pairs_per_device).sum())
+    assert float(got.loss) == pytest.approx(float(ref.loss), rel=1e-5,
+                                            abs=1e-6)
+    for name, x, y in zip(ref.params._fields, ref.params, got.params):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5,
+                                   err_msg=name)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_sharded_trainer_grows_and_matches_ample_run():
     """ShardedTrainer applies the single-chip grow-and-redo policy on a

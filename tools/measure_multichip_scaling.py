@@ -37,27 +37,36 @@ def main():
     from __graft_entry__ import _scene
 
     n_gauss = 100_000
-    _, cam = _scene(16, 256, 256)
     rng = np.random.default_rng(1)
     pts = rng.uniform(-1.2, 1.2, (n_gauss, 3)).astype(np.float32)
     cfg = TrainConfig(sh_degree=0)
 
+    # (G, image size): 256px has gy=8 tile rows, so at G=8 every device owns
+    # exactly ONE row and strided == banded ownership (per-row load skew is
+    # irreducible by any row-ownership scheme). The 512px G=8 case gives each
+    # device TWO strided rows (r, r+8) — edge+center pairing — which is
+    # where round-robin ownership must prove its balance.
     rows = []
-    for G in (1, 2, 4, 8):
+    for G, px in ((1, 256), (2, 256), (4, 256), (8, 256), (1, 512), (8, 512)):
+        _, cam = _scene(16, px, px)
         mesh = make_mesh(data=1, gauss=G)
         model = GaussianModel.from_point_cloud(
             pts, rng.uniform(0.2, 0.8, (n_gauss, 3)), max_sh_degree=0,
             capacity=-(-n_gauss // G) * G)
         tx = make_optimizer(cfg, model.spatial_lr_scale)
         opt_state = tx.init(model.params)
-        # Per-SLICE capacity: tile-row slices are load-imbalanced on this
-        # center-heavy scene, so halve only once as G grows.
+        # Per-SLICE capacity: strided (round-robin) tile-row ownership
+        # keeps slices near-balanced, so capacity can track ~total/G with
+        # one-step slack.
         rcfg = RasterizerConfig(
-            pair_capacity={1: 1 << 18, 2: 1 << 18, 4: 1 << 17,
-                           8: 1 << 17}[G])
+            pair_capacity={(1, 256): 1 << 18, (2, 256): 1 << 18,
+                           (4, 256): 1 << 17, (8, 256): 1 << 16,
+                           (1, 512): 1 << 20, (8, 512): 1 << 18}[(G, px)])
+        # max_per_tile clears the hottest tile (~7k pairs): NO truncation,
+        # so the loss column is G-invariant up to float reassociation.
         step = make_sharded_train_step(
             mesh, tx, model.capacity, cam, cfg, rcfg, sh_degree=0,
-            impl="xla", max_per_tile=1024)
+            impl="xla", max_per_tile=8192)
         out = step(model.params, opt_state, model.state,
                    batch_cameras([cam]),
                    jnp.zeros((1, 3, cam.height, cam.width), jnp.float32),
@@ -66,35 +75,49 @@ def main():
         assert not bool(out.overflow), (G, pairs)
         rows.append({
             "gauss_devices": G,
+            "image_px": px,
             "pairs_per_device": pairs.tolist(),
             "total_pairs": int(pairs.sum()),
             "max_fraction_of_total": round(float(pairs.max())
                                            / max(int(pairs.sum()), 1), 4),
             "loss": round(float(out.loss), 6),
         })
-        print(f"G={G}: pairs/device={pairs.tolist()} "
+        print(f"G={G} px={px}: pairs/device={pairs.tolist()} "
               f"(max {rows[-1]['max_fraction_of_total']:.0%} of total, "
               f"ideal {1.0 / G:.0%})", flush=True)
 
-    total_1 = rows[0]["total_pairs"]
+    total_1 = {r["image_px"]: r["total_pairs"] for r in rows
+               if r["gauss_devices"] == 1}
     for r in rows:
         # Work amplification from slicing (boundary rects spanning slices
         # emit into both): total pairs at G vs the single-device total.
-        r["work_amplification"] = round(r["total_pairs"] / total_1, 4)
+        t1 = total_1[r["image_px"]]
+        r["work_amplification"] = round(r["total_pairs"] / t1, 4)
         # Per-device share of the SINGLE-DEVICE workload — the scaling
         # number the north star cares about (<= 1/D + eps).
         r["max_share_of_single_device_work"] = round(
-            max(r["pairs_per_device"]) / total_1, 4)
+            max(r["pairs_per_device"]) / t1, 4)
 
     result = {
         "metric": "tile_sharded_compositing_work_scaling",
-        "scene": "100k uniform gaussians, 256x256, 8-device CPU mesh",
+        "scene": "100k uniform gaussians, 8-device CPU mesh",
         "rows": rows,
-        "note": ("losses vary ~1e-3 across G: the CPU XLA fallback "
-                 "compositor truncates at max_per_tile and the truncation "
-                 "set differs per slice layout; the production Pallas path "
-                 "has no cap (bit-exact sharded-vs-single on hardware, "
-                 "tools/hwcheck_sharded.py)"),
+        "note": (
+            "strided (round-robin) tile-row ownership; max_per_tile "
+            "8192 clears the hottest tile so nothing truncates. Loss "
+            "varies ~1e-3 across the 256px rows because the default "
+            "sort_stable=False lets equal quantized-depth ties "
+            "composite in slice-dependent order (config.py rationale); "
+            "the 512px G=1 vs G=8 pair agrees to 5e-6. At 256px G=8 "
+            "every device owns exactly ONE of the gy=8 tile rows, so "
+            "the share skew there is the irreducible per-row load, not "
+            "the ownership scheme; the 512px G=8 row (two strided rows "
+            "per device, edge+center pairing) is the balance "
+            "measurement: 0.1545 share = 1.24x ideal. The production "
+            "Pallas path needs no cap at all (tools/hwcheck_sharded.py, "
+            "tests/test_sharded_train.py::test_sharded_pallas_interpret "
+            "_matches_xla). "
+        ),
     }
     path = os.path.join(os.path.dirname(__file__), "..",
                         "MULTICHIP_SCALING.json")
