@@ -32,7 +32,15 @@ def main():
     n_gauss = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     width, height = 960, 576
     args, cam = _scene(n_gauss, width, height)
-    cfg = RasterizerConfig(pair_capacity=2_621_440)  # 2.59M emissions + ~1%
+    # Capacity: this fixed scene emits 2.5897M pairs; 2.62M (+1.2%) is the
+    # tightest 128*DEC_S-aligned capacity above it. A real training run
+    # does NOT get to assume a pre-known bound — the Trainer doubles
+    # capacity on reported overflow and redoes the iteration (trainer.py),
+    # paying sort/decode cost proportional to the grown K until retuned.
+    # The bench pins capacity because its metric is kernel throughput at a
+    # FIXED workload, not the capacity-planning policy (the policy has its
+    # own tests; tools/bench_trainstep.py measures the full step).
+    cfg = RasterizerConfig(pair_capacity=2_621_440)
 
     target = jnp.zeros((3, height, width), jnp.float32)
 
