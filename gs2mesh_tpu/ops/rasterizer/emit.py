@@ -170,12 +170,15 @@ def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
     dead = jnp.where(has, u32(0), u32(1))
     _, ridx = jax.lax.sort((dead, jnp.arange(N, dtype=i32)), num_keys=1,
                            is_stable=True)
-    ctable = gtable[ridx]                                  # one (N,16) gather
-    sent_row = jnp.zeros((1, 16), f32).at[0, 1].set(OSENT)
+    # ONE padded gather builds the whole table: row N of the padded source
+    # is the OSENT sentinel row and the tail indices all point at it. (A
+    # separate tiled-constant tail block costs a serialized scalar-memory
+    # constant copy per step on v5e.)
     nb128 = -(-N // 128) + 1                               # +1 spare block
-    ctable = jnp.concatenate([
-        ctable,
-        jnp.tile(sent_row, (nb128 * 128 - N, 1))], axis=0)
+    gtable_ext = jnp.pad(gtable, ((0, 1), (0, 0))).at[N, 1].set(OSENT)
+    ridx_full = jnp.concatenate([
+        ridx, jnp.full((nb128 * 128 - N,), N, i32)])
+    ctable = gtable_ext[ridx_full]
     return ctable, offsets, num_pairs, num_pairs > K, nb128
 
 

@@ -171,11 +171,13 @@ def _composite_core(v, T_pix, done, cfg: RasterizerConfig, chunk: int):
 
 # SPAN must never exceed tile_render.PAD_CHUNKS (emit bakes that many zero
 # chunks after the last pair chunk for span-DMA overrun).
-SPAN = 1  # chunks streamed per DMA. Early exit quantizes to one span, so a
-          # tile wastes (SPAN/2 - 0.5) chunks of full-width math on average
-          # past its true exit point; at 540 tiles and ~2-4us per chunk the
-          # finer granularity beats the extra DMA-issue overhead (measured
-          # on v5e: SPAN=2 < SPAN=4 on the bench scene).
+# Early exit quantizes to one span, so a tile wastes (SPAN/2 - 0.5) chunks
+# of full-width math on average past its true exit point. The heavier
+# backward prefers exact granularity (SPAN=1); the cheaper forward's
+# per-span overhead outweighs its smaller waste at SPAN=1 (both measured
+# on v5e on the bench scene). Neither may exceed tile_render.PAD_CHUNKS.
+SPAN_FWD = 2
+SPAN_BWD = 1
 
 
 def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
@@ -189,7 +191,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     hi = lo + counts_ref[t]
     c0 = lo // chunk
     nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
-    nspans = (nchunks + SPAN - 1) // SPAN
+    nspans = (nchunks + SPAN_FWD - 1) // SPAN_FWD
 
     px, py = _pixel_coords(tile, P)
     color_ref[0] = jnp.zeros((3, P), f32)
@@ -197,7 +199,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
 
     def dma(slot, si):
         return pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(c0 + si * SPAN, SPAN)], bufs.at[slot],
+            pairs_hbm.at[pl.ds(c0 + si * SPAN_FWD, SPAN_FWD)], bufs.at[slot],
             sems.at[slot])
 
     # Span-0 DMA protocol: every nonempty tile's first span is prefetched by
@@ -212,7 +214,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
     # Early termination, the TPU analog of the CUDA per-pixel T<eps exit
     # (forward.cu:347-351): stop streaming once every pixel in the tile is
     # saturated — all later chunks contribute exactly zero. Exit granularity
-    # is one SPAN of chunks.
+    # is one SPAN_FWD of chunks.
     def cond(state):
         si, T_pix, done = state
         return (si < nspans) & (jnp.min(done) < 0.5)
@@ -227,8 +229,8 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
 
         dma(slot, si).wait()
         acc = jnp.zeros((3, P), f32)
-        for j in range(SPAN):
-            i = si * SPAN + j
+        for j in range(SPAN_FWD):
+            i = si * SPAN_FWD + j
             rowid = (c0 + i) * chunk + row_iota
             thresh = jnp.where((rowid >= lo) & (rowid < hi),
                                cfg.alpha_min, jnp.inf)
@@ -261,7 +263,7 @@ def _forward_kernel(starts_ref, counts_ref, pairs_hbm,
         @pl.when(cnt_n > 0)
         def _():
             pltpu.make_async_copy(
-                pairs_hbm.at[pl.ds(lo_n // chunk, SPAN)], bufs.at[0],
+                pairs_hbm.at[pl.ds(lo_n // chunk, SPAN_FWD)], bufs.at[0],
                 sems.at[0]).start()
 
 
@@ -277,10 +279,10 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     hi = lo + counts_ref[t]
     c0 = lo // chunk
     nchunks = jnp.where(hi > lo, (hi - 1) // chunk - c0 + 1, 0)
-    nspans = (nchunks + SPAN - 1) // SPAN
-    # Spans [0, full_spans) write back as one SPAN-chunk DMA; the tail span
+    nspans = (nchunks + SPAN_BWD - 1) // SPAN_BWD
+    # Spans [0, full_spans) write back as one SPAN_BWD-chunk DMA; the tail span
     # (if any) writes per-chunk so the next tile's chunks are never touched.
-    full_spans = nchunks // SPAN
+    full_spans = nchunks // SPAN_BWD
 
     px, py = _pixel_coords(tile, P)
     # Shared (6, P) tile-local monomial basis: forward quadratic form and
@@ -305,12 +307,12 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
 
     def dma_in(slot, si):
         return pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(c0 + si * SPAN, SPAN)], bufs.at[slot],
+            pairs_hbm.at[pl.ds(c0 + si * SPAN_BWD, SPAN_BWD)], bufs.at[slot],
             sems.at[slot])
 
     def dma_out_span(slot, si):
         return pltpu.make_async_copy(
-            gbufs.at[slot], dpairs_hbm.at[pl.ds(c0 + si * SPAN, SPAN)],
+            gbufs.at[slot], dpairs_hbm.at[pl.ds(c0 + si * SPAN_BWD, SPAN_BWD)],
             gsems.at[slot])
 
     def dma_out_chunk(slot, j, ci):
@@ -424,9 +426,9 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
             dma_out_span(slot, si - 2).wait()
 
         gs = []
-        for j in range(SPAN):
+        for j in range(SPAN_BWD):
             gT, T_pix, done, U_run = chunk_grads(
-                si * SPAN + j, T_pix, done, U_run, bufs[slot, j])
+                si * SPAN_BWD + j, T_pix, done, U_run, bufs[slot, j])
             gs.append(gT)
 
         @pl.when(first_shared)
@@ -435,7 +437,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
 
         flag = jnp.where(first_shared, 1.0, 0.0)
         gbufs[slot, 0] = gs[0] + rbuf[...] * flag        # (FEAT, chunk)
-        for j in range(1, SPAN):
+        for j in range(1, SPAN_BWD):
             gbufs[slot, j] = gs[j]
 
         @pl.when(si < full_spans)
@@ -446,10 +448,10 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         def _():
             # Tail span: chunk-granular writes, waited immediately (the
             # tail is the last span, so this stalls nothing downstream).
-            for j in range(SPAN):
-                @pl.when(si * SPAN + j < nchunks)
+            for j in range(SPAN_BWD):
+                @pl.when(si * SPAN_BWD + j < nchunks)
                 def _():
-                    d = dma_out_chunk(slot, j, si * SPAN + j)
+                    d = dma_out_chunk(slot, j, si * SPAN_BWD + j)
                     d.start()
                     d.wait()
 
@@ -459,7 +461,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         cond, body,
         (jnp.int32(0), jnp.ones((1, P), f32), jnp.zeros((1, P), f32),
          jnp.zeros((1, P), f32)))
-    ndone = jnp.minimum(s_end * SPAN, nchunks)
+    ndone = jnp.minimum(s_end * SPAN_BWD, nchunks)
     ndone_ref[t] = ndone
 
     # Drain the input prefetch issued past the early exit.
@@ -496,7 +498,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         @pl.when(cnt_n > 0)
         def _():
             pltpu.make_async_copy(
-                pairs_hbm.at[pl.ds(lo_n // chunk, SPAN)], bufs.at[0],
+                pairs_hbm.at[pl.ds(lo_n // chunk, SPAN_BWD)], bufs.at[0],
                 sems.at[0]).start()
 
 
@@ -521,7 +523,7 @@ def _fwd_call(pair_feat, tile_starts, tile_counts, gx: int, gy: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, SPAN, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, SPAN_FWD, FEAT, cfg.chunk), f32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -563,8 +565,8 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, SPAN, FEAT, cfg.chunk), f32),
-            pltpu.VMEM((2, SPAN, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, SPAN_BWD, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, SPAN_BWD, FEAT, cfg.chunk), f32),
             pltpu.VMEM((FEAT, cfg.chunk), f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
