@@ -170,15 +170,15 @@ def _build_tables(feat9, depths, rect, tiles_touched, cfg: RasterizerConfig):
     dead = jnp.where(has, u32(0), u32(1))
     _, ridx = jax.lax.sort((dead, jnp.arange(N, dtype=i32)), num_keys=1,
                            is_stable=True)
-    # ONE padded gather builds the whole table: row N of the padded source
-    # is the OSENT sentinel row and the tail indices all point at it. (A
-    # separate tiled-constant tail block costs a serialized scalar-memory
-    # constant copy per step on v5e.)
+    # (A one-padded-gather variant that folds the tail into the gather was
+    # measured SLOWER on v5e — the dynamic-update-slice source de-fuses the
+    # gather; the tiled-constant tail's scalar copy fully overlaps.)
+    ctable = gtable[ridx]                                  # one (N,16) gather
+    sent_row = jnp.zeros((1, 16), f32).at[0, 1].set(OSENT)
     nb128 = -(-N // 128) + 1                               # +1 spare block
-    gtable_ext = jnp.pad(gtable, ((0, 1), (0, 0))).at[N, 1].set(OSENT)
-    ridx_full = jnp.concatenate([
-        ridx, jnp.full((nb128 * 128 - N,), N, i32)])
-    ctable = gtable_ext[ridx_full]
+    ctable = jnp.concatenate([
+        ctable,
+        jnp.tile(sent_row, (nb128 * 128 - N, 1))], axis=0)
     return ctable, offsets, num_pairs, num_pairs > K, nb128
 
 
@@ -856,13 +856,16 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg,
     # Assemble the chunk-transposed (K/chunk, FEAT, chunk) layout directly:
     # each (K,) column reshapes (free) to (K/chunk, 1, chunk) and one concat
     # writes the final layout — no (K, FEAT) intermediate + transpose.
+    # Span-DMA overrun pad (render kernels index up to one span past a
+    # tile's last chunk) is folded PER COLUMN before the feature concat:
+    # the per-column zero tails fuse into the unpack elementwise chain, so
+    # the padded (KC+PAD, FEAT, chunk) layout materializes exactly once (a
+    # trailing axis-0 concat costs a second full copy of the array).
+    KCP = K // chunk + PAD_CHUNKS
+    zpad = jnp.zeros((PAD_CHUNKS * chunk,), f32)
     pair_feat = jnp.concatenate(
-        [c.reshape(K // chunk, 1, chunk) for c in cols]
-        + [jnp.zeros((K // chunk, FEAT - NCOLS, chunk), f32)], axis=1)
-    # Span-DMA overrun pad, baked into this materialization (the render
-    # kernels index chunks past a tile's last chunk by up to one span).
-    pair_feat = jnp.concatenate(
-        [pair_feat, jnp.zeros((PAD_CHUNKS, FEAT, chunk), f32)], axis=0)
+        [jnp.concatenate([c, zpad]).reshape(KCP, 1, chunk) for c in cols]
+        + [jnp.zeros((KCP, FEAT - NCOLS, chunk), f32)], axis=1)
 
     tile_starts, tile_counts = tile_ranges_from_sorted_keys(key_s, num_tiles)
     ids_sorted = ids_sorted.astype(i32)
