@@ -151,6 +151,51 @@ def test_marching_tets_on_analytic_sdf():
     assert np.all(counts == 2)
 
 
+def _face_soup(mesh, decimals=5):
+    """Order-independent canonical form: each face as an orientation-
+    preserving rotation-normalized tuple of rounded vertex coordinates."""
+    v = np.round(mesh.vertices, decimals)
+    tri = v[mesh.faces]                                    # (F, 3, 3)
+    flat = [tuple(map(tuple, t)) for t in tri]
+    out = []
+    for t in flat:
+        k = min(range(3), key=lambda i: t[i])
+        out.append((t[k], t[(k + 1) % 3], t[(k + 2) % 3]))
+    return sorted(out)
+
+
+def test_block_sparse_marching_matches_dense(fused_sphere):
+    """The default (block-sparse) extractor must produce the same mesh as
+    dense-ifying the bounding box — geometry, winding AND vertex colors,
+    including vertices interpolated across block seams."""
+    vol, cfg = fused_sphere
+    mb = extract_triangle_mesh(vol, cfg)
+    md = extract_triangle_mesh(vol, cfg, dense=True)
+    assert mb.faces.shape == md.faces.shape
+    assert mb.vertices.shape == md.vertices.shape
+    assert _face_soup(mb) == _face_soup(md)
+
+    # Vertex colors agree per-position (vertex order differs between paths).
+    def color_map(mesh):
+        v = np.round(mesh.vertices, 5)
+        return {tuple(p): tuple(np.round(c, 5))
+                for p, c in zip(v, mesh.vertex_colors)}
+
+    cmb, cmd = color_map(mb), color_map(md)
+    assert cmb.keys() == cmd.keys()
+    mismatches = sum(1 for k in cmb if cmb[k] != cmd[k])
+    assert mismatches == 0, f"{mismatches} vertex-color mismatches"
+
+    # The comparison actually exercises seams: many faces must straddle
+    # two or more blocks (i.e. have vertices in distinct blocks), which is
+    # exactly the neighbor-stitching path of the block extractor.
+    ext = cfg.block_extent
+    blk = np.floor((mb.vertices - np.asarray(cfg.origin)) / ext).astype(int)
+    fb = blk[mb.faces]                                     # (F, 3, 3)
+    straddle = (fb.max(axis=1) != fb.min(axis=1)).any(axis=1)
+    assert straddle.sum() > 100, int(straddle.sum())
+
+
 def test_clean_mesh_drops_small_clusters():
     # Two tetrahedra far apart: a "big" one (4 faces) and a copy; drop one
     # by threshold between 4 and 8.
