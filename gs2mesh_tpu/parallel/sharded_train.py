@@ -120,21 +120,31 @@ def rasterize_sharded(params: GaussianParams, alive, camera: Camera,
                           (rect[:, 2] - rect[:, 0]) * (y1l - y0l), 0)
 
     from gs2mesh_tpu.ops.rasterizer.emit import build_feat9, emit_sorted_pairs
-    pair_feat, aux = emit_sorted_pairs(
-        build_feat9(prep), prep.depths, rect_loc, tiles_loc,
-        camera.width, h_slice, rcfg_s, ax)
-    pair_feat, starts, counts = jax.lax.optimization_barrier(
-        (pair_feat, aux.tile_starts, aux.tile_counts))
-
-    if impl == "pallas":
-        from gs2mesh_tpu.ops.rasterizer.pallas_kernels import render_tiles_pallas
-        color_t, T_t = render_tiles_pallas(pair_feat, starts, counts,
-                                           gx, rows_per, rcfg)
+    if impl == "pallas" and rcfg.feat_carry_bf16:
+        # Production path: fused emit+composite custom-vjp (compacted
+        # backward, see ops.rasterizer.fused) on this device's tile slice.
+        from gs2mesh_tpu.ops.rasterizer.fused import emit_render_fused
+        color_t, T_t, aux = emit_render_fused(
+            build_feat9(prep), prep.depths, rect_loc, tiles_loc,
+            camera.width, h_slice, rcfg_s, ax)
         tile_overflow = jnp.zeros((), bool)
     else:
-        color_t, T_t = tile_render.render_tiles_xla(
-            pair_feat, starts, counts, gx, rows_per, rcfg, max_per_tile)
-        tile_overflow = jnp.any(counts > max_per_tile)
+        pair_feat, aux = emit_sorted_pairs(
+            build_feat9(prep), prep.depths, rect_loc, tiles_loc,
+            camera.width, h_slice, rcfg_s, ax)
+        pair_feat, starts, counts = jax.lax.optimization_barrier(
+            (pair_feat, aux.tile_starts, aux.tile_counts))
+
+        if impl == "pallas":
+            from gs2mesh_tpu.ops.rasterizer.pallas_kernels import \
+                render_tiles_pallas
+            color_t, T_t = render_tiles_pallas(pair_feat, starts, counts,
+                                               gx, rows_per, rcfg)
+            tile_overflow = jnp.zeros((), bool)
+        else:
+            color_t, T_t = tile_render.render_tiles_xla(
+                pair_feat, starts, counts, gx, rows_per, rcfg, max_per_tile)
+            tile_overflow = jnp.any(counts > max_per_tile)
     color, final_T = tile_render.assemble_image(
         color_t, T_t, gx, rows_per, camera.width, h_slice, rcfg.tile)
     image = color + final_T[None] * bg[:, None, None]
@@ -210,6 +220,17 @@ def sharded_gs_loss(image_slice, row_valid, target, ax, height: int,
     `height`. Matches ops.ssim.gs_loss on the stitched image: the psum over
     'gauss' plus per-tile-row halo exchange give every SSIM window the same
     pixels the unsharded conv sees.
+
+    Returns (total, partial): ``total`` is the replicated full-image loss
+    (for reporting); ``partial`` is this device's UN-psum'd share, summing
+    to ``total - lambda_dssim`` across the axis. DIFFERENTIATE ``partial``:
+    the all_gather transpose (psum_scatter) already sums each shard's
+    cotangent contributions across devices, so grad(partial) IS the full
+    gradient — while grad(psum(partial)) would arrive G-fold (the psum
+    transpose under check_vma=False re-psums the replicated cotangent).
+    That G-fold factor is invisible after Adam's per-coordinate rescaling
+    (which is why parameter-trajectory tests never caught it) but inflates
+    the raw densification grad-norm stats G-fold.
     """
     h_slice = image_slice.shape[1]
     rows_per = h_slice // tile
@@ -228,7 +249,6 @@ def sharded_gs_loss(image_slice, row_valid, target, ax, height: int,
     tgt4 = tgt_ext[:, :, HALO:-HALO, :] * rv4
 
     l1_part = jnp.sum(jnp.abs(img4 - tgt4))
-    l1 = jax.lax.psum(l1_part, "gauss") / npix
 
     # SSIM on halo-extended tile rows; windows centered on valid rows only.
     img_ext = _exchange_halos_strided(img4, ax, G)
@@ -242,8 +262,11 @@ def sharded_gs_loss(image_slice, row_valid, target, ax, height: int,
     s12 = _filter2d_rows(img_ext * tgt_ext, w) - mu12
     ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
-    ssim_val = jax.lax.psum(jnp.sum(ssim_map * rv4), "gauss") / npix
-    return (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_val)
+    ssim_part = jnp.sum(ssim_map * rv4)
+    partial = ((1.0 - lambda_dssim) * l1_part
+               - lambda_dssim * ssim_part) / npix
+    total = jax.lax.psum(partial, "gauss") + lambda_dssim
+    return total, partial
 
 
 class ShardedStepOutput(NamedTuple):
@@ -292,13 +315,17 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
                 screenspace_offset=offs, impl=impl,
                 max_per_tile=max_per_tile)
             ax = jax.lax.axis_index("gauss")
-            loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ax,
-                                   cam.height, cam.width, rcfg.tile,
-                                   cfg.lambda_dssim, G)
-            return loss, (r.radii, r.num_pairs, r.overflow, r.tile_overflow)
+            total, partial = sharded_gs_loss(
+                r.image_slice, r.row_valid, target, ax,
+                cam.height, cam.width, rcfg.tile, cfg.lambda_dssim, G)
+            # Differentiate the LOCAL partial (see sharded_gs_loss: the
+            # gather transpose already psums shard cotangents; grad of the
+            # replicated total would arrive G-fold).
+            return partial, (total, r.radii, r.num_pairs, r.overflow,
+                             r.tile_overflow)
 
         offs0 = jnp.zeros((n_local, 2), jnp.float32)
-        (loss, (radii, num_pairs, overflow, tile_overflow)), \
+        (_, (loss, radii, num_pairs, overflow, tile_overflow)), \
             (grads, ss_grad) = \
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, offs0)
@@ -308,6 +335,16 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
         # slice contributions) — only the data-parallel mean remains.
         grads = jax.tree.map(
             lambda g: jax.lax.psum(g, "data") * (1.0 / D), grads)
+
+        # Dead padded rows produce NaN grads (the quat-normalize derivative
+        # at q=0 survives the multiplicative alive mask); zero them so dead
+        # rows and their Adam moments stay exactly at their fill values —
+        # same guard as the single-chip step (trainer.py make_train_step).
+        grads = jax.tree.map(
+            lambda g: jnp.where(
+                state.alive.reshape((n_local,) + (1,) * (g.ndim - 1)),
+                g, 0.0),
+            grads)
 
         # Densification stats: per-view grad NORMS summed over views (same
         # semantics as the reference's one-view-per-step accumulation).
@@ -379,7 +416,7 @@ def make_sharded_train_step(mesh: Mesh, tx, capacity: int,
 
 @dataclasses.dataclass
 class ShardedTrainer:
-    """Minimal multi-chip host training driver with overflow reaction.
+    """Multi-chip host training driver: overflow reaction + density control.
 
     Applies the same grow-and-redo policy as the single-chip ``Trainer``
     (train.trainer): when a step reports ``overflow`` the per-slice
@@ -389,6 +426,14 @@ class ShardedTrainer:
     after one retrace — the static-shape analog of the reference's dynamic
     buffer growth (rasterizer_impl.cu resizeFunctional). Each step consumes
     ``data``-axis-many views (data-parallel gradient mean).
+
+    Adaptive density control runs the single-chip host cadence
+    (train.py:113-123): the step already psum-accumulates the densify stats
+    across the ``data`` axis, so ``densify_and_prune`` over the GLOBAL
+    capacity-row arrays sees the same totals as single-chip training; the
+    clone/split/prune + optimizer surgery result is re-sharded automatically
+    when the next step consumes it. Gaussian capacity growth keeps the row
+    count divisible by the ``gauss`` axis (shard_map evenness).
     """
 
     mesh: Mesh
@@ -399,7 +444,9 @@ class ShardedTrainer:
     rcfg: RasterizerConfig = RasterizerConfig()
     impl: str = "xla"
     max_per_tile: int = 4096
+    scene_extent: float = 1.0
     seed: int = 0
+    MAX_CACHED_STEPS = 4   # bound live executables (SH warmup x growth)
 
     def __post_init__(self):
         from gs2mesh_tpu.train.trainer import make_optimizer
@@ -410,6 +457,7 @@ class ShardedTrainer:
         self.iteration = 0
         self._steps = {}
         self._rng = np.random.default_rng(self.seed)
+        self._key = jax.random.PRNGKey(self.seed)
         self._view_stack = []
         self._targets_dev = {}
 
@@ -417,9 +465,18 @@ class ShardedTrainer:
     def data_size(self) -> int:
         return self.mesh.shape["data"]
 
+    @property
+    def gauss_size(self) -> int:
+        return self.mesh.shape["gauss"]
+
     def _get_step(self, sh_degree: int):
-        key = (sh_degree, self.rcfg.pair_capacity, self.max_per_tile)
+        key = (sh_degree, self.model.capacity, self.rcfg.pair_capacity,
+               self.max_per_tile)
         if key not in self._steps:
+            if len(self._steps) >= self.MAX_CACHED_STEPS:
+                # Evict oldest: SH warmup + growth events would otherwise
+                # hold every retraced executable live for a 30k-iter run.
+                self._steps.pop(next(iter(self._steps)))
             self._steps[key] = make_sharded_train_step(
                 self.mesh, self.tx, self.model.capacity, self.cameras[0],
                 self.cfg, self.rcfg, sh_degree, impl=self.impl,
@@ -481,10 +538,129 @@ class ShardedTrainer:
                 self._view_stack.extend(reversed(views))
                 self.iteration -= 1
                 continue
+            # Single-chip host cadence (train.py:113-123): densify/prune in
+            # the window, opacity reset on its interval.
+            if (self.cfg.densify_from_iter <= it
+                    <= self.cfg.densify_until_iter
+                    and it % self.cfg.densification_interval == 0):
+                self.densify()
+            if (it % self.cfg.opacity_reset_interval == 0
+                    and it < self.cfg.iterations):
+                self.reset_opacity()
             if log_every and it % log_every == 0:
                 print(f"[sharded] it={it} loss={float(out.loss):.5f} "
+                      f"alive={self.model.num_alive()} "
                       f"pairs={np_asarray_list(out.pairs_per_device)}")
         return self
+
+    # ------------------------------------------------------------------
+    # Adaptive density control (host cadence over the global arrays)
+    # ------------------------------------------------------------------
+    def densify(self):
+        from gs2mesh_tpu.models.gaussians import (DensifyConfig,
+                                                  densify_and_prune)
+        import numpy as np
+
+        big = (20.0 if self.iteration > self.cfg.opacity_reset_interval
+               else 0.0)
+        dcfg = DensifyConfig(
+            grad_threshold=self.cfg.densify_grad_threshold,
+            percent_dense=self.cfg.percent_dense,
+            opacity_cull=0.005, max_screen_size=big)
+        self._key, k = jax.random.split(self._key)
+        params, state, opt_state, stats = densify_and_prune(
+            self.model.params, self.model.state, self.opt_state,
+            self.scene_extent, dcfg, k, self.model.max_sh_degree)
+        self.model.params, self.model.state = params, state
+        self.opt_state = opt_state
+        n_alive = int(np.asarray(state.alive).sum())
+        if bool(stats["overflow"]) or n_alive > 0.9 * self.model.capacity:
+            self.grow_capacity(self.model.capacity * 2)
+        return stats
+
+    def grow_capacity(self, new_capacity: int):
+        """Double Gaussian capacity, rounded up to a gauss-axis multiple so
+        shard_map row sharding stays even. One retrace per growth event."""
+        from gs2mesh_tpu.train.trainer import grow_rows
+
+        G = self.gauss_size
+        new_capacity = -(-new_capacity // G) * G
+        old = self.model.capacity
+        if new_capacity <= old:
+            return
+        params, state, self.opt_state = grow_rows(
+            self.model.params, self.model.state, self.opt_state,
+            new_capacity)
+        self.model.params, self.model.state = params, state
+        self._steps.clear()
+        print(f"[sharded] capacity {old} -> {new_capacity} "
+              f"(alive {self.model.num_alive()})")
+
+    def reset_opacity(self):
+        from gs2mesh_tpu.models.gaussians import reset_opacity
+        from gs2mesh_tpu.train.trainer import _zero_opacity_moments
+
+        self.model.params = reset_opacity(self.model.params,
+                                          self.model.state.alive)
+        self.opt_state = _zero_opacity_moments(self.opt_state,
+                                               self.model.capacity)
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (single-chip format, trainer.py:419-448 parity;
+    # np.asarray gathers the sharded rows to host)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path_dir: str):
+        import os
+        import pickle
+        import numpy as np
+
+        from gs2mesh_tpu.train.trainer import (compact_row_order,
+                                               permute_rows)
+
+        os.makedirs(path_dir, exist_ok=True)
+        self.model.save_ply(os.path.join(
+            path_dir, "point_cloud",
+            f"iteration_{self.iteration}", "point_cloud.ply"))
+        order = compact_row_order(self.model.state.alive)
+        cap = self.model.capacity
+        with open(os.path.join(path_dir,
+                               f"chkpnt{self.iteration}.pkl"), "wb") as f:
+            pickle.dump({
+                "iteration": self.iteration,
+                "opt_state": permute_rows(self.opt_state, order, cap),
+                "state": permute_rows(self.model.state, order, cap),
+                "active_sh_degree": self.model.active_sh_degree,
+                "spatial_lr_scale": self.model.spatial_lr_scale,
+                "pair_capacity": self.rcfg.pair_capacity,
+                "max_per_tile": self.max_per_tile,
+            }, f)
+
+    def restore_checkpoint(self, path_dir: str, iteration: int):
+        import os
+        import pickle
+
+        with open(os.path.join(path_dir, f"chkpnt{iteration}.pkl"),
+                  "rb") as f:
+            blob = pickle.load(f)
+        cap = blob["state"].alive.shape[0]
+        assert cap % self.gauss_size == 0, (cap, self.gauss_size)
+        ply = os.path.join(path_dir, "point_cloud",
+                           f"iteration_{iteration}", "point_cloud.ply")
+        self.model = GaussianModel.load_ply(ply, self.model.max_sh_degree,
+                                            capacity=cap)
+        self._steps.clear()
+        self.opt_state = jax.tree.map(jnp.asarray, blob["opt_state"])
+        self.model.state = jax.tree.map(jnp.asarray, blob["state"])
+        self.model.active_sh_degree = blob["active_sh_degree"]
+        self.model.spatial_lr_scale = blob["spatial_lr_scale"]
+        self.iteration = blob["iteration"]
+        from gs2mesh_tpu.train.trainer import make_optimizer
+        self.tx = make_optimizer(self.cfg, self.model.spatial_lr_scale)
+        if "pair_capacity" in blob:
+            self.rcfg = dataclasses.replace(
+                self.rcfg, pair_capacity=blob["pair_capacity"])
+        if "max_per_tile" in blob:
+            self.max_per_tile = blob["max_per_tile"]
 
 
 def np_asarray_list(x):

@@ -75,6 +75,11 @@ class PipelineArgs:
     GS_save_test_iterations: List[int] = dataclasses.field(
         default_factory=lambda: [7000, 30000])
     GS_white_background: bool = False
+    # Device count for GS training: 1 = single chip (reference behavior),
+    # >1 = ShardedTrainer on a (1, GS_devices) mesh (tile-sharded hot path,
+    # parallel/sharded_train.py), 0 = use every visible device. New
+    # capability — the reference is single-GPU only (SURVEY.md §2f).
+    GS_devices: int = 1
     # Renderer
     renderer_baseline_absolute: Optional[float] = None
     renderer_baseline_percentage: float = 7.0
@@ -153,6 +158,7 @@ def make_parser(dataset: str) -> argparse.ArgumentParser:
     flag("GS_save_test_iterations", d.GS_save_test_iterations, type=int,
          nargs="+")
     p.add_argument("--GS_white_background", action="store_true")
+    flag("GS_devices", d.GS_devices, type=int)
     flag("renderer_baseline_absolute", None, type=float)
     flag("renderer_baseline_percentage", d.renderer_baseline_percentage,
          type=float)

@@ -29,38 +29,76 @@ def train_gs(colmap_dir: str, model_dir: str, iterations: int,
              save_iterations, white_background: bool,
              resolution: int = -1, max_views=None,
              capacity=None, log_every: int = 500,
-             pair_capacity: int = 1 << 22):
-    """In-process GS training stage (replaces the train.py subprocess)."""
+             pair_capacity: int = 1 << 22, devices: int = 1):
+    """In-process GS training stage (replaces the train.py subprocess).
+
+    devices > 1 routes through the multi-chip ShardedTrainer on a
+    (1, devices) mesh (tile-sharded hot path + densification,
+    parallel/sharded_train.py); 0 uses every visible device. The artifact
+    contract (point_cloud/iteration_N/point_cloud.ply + chkpnt pickle) is
+    identical to the single-chip path, so downstream stages are unchanged.
+    """
+    import jax
+
     from gs2mesh_tpu.models.gaussians import GaussianModel
     from gs2mesh_tpu.ops.rasterizer import RasterizerConfig
     from gs2mesh_tpu.train.scene import (load_colmap_scene,
                                          random_point_cloud_fallback)
     from gs2mesh_tpu.train.trainer import TrainConfig, Trainer
 
+    if devices == 0:
+        devices = len(jax.devices())
     scene = load_colmap_scene(colmap_dir, resolution=resolution,
                               max_views=max_views)
     xyz, rgb = scene.points, scene.colors
     if xyz.shape[0] == 0:
         xyz, rgb = random_point_cloud_fallback(100_000,
                                                scene.nerf_norm_radius)
+    if devices > 1 and capacity is None:
+        # shard_map needs capacity divisible by the gauss axis.
+        capacity = -(-max(xyz.shape[0], 4096) // (4096 * devices)) \
+            * 4096 * devices
     model = GaussianModel.from_point_cloud(
         xyz, rgb, capacity=capacity,
         spatial_lr_scale=scene.nerf_norm_radius)
     cfg = TrainConfig(iterations=iterations,
                       white_background=white_background)
-    trainer = Trainer(model=model, cameras=scene.cameras,
-                      images=scene.images, cfg=cfg,
-                      rcfg=RasterizerConfig(pair_capacity=pair_capacity),
-                      scene_extent=scene.nerf_norm_radius,
-                      out_dir=model_dir)
+    rcfg = RasterizerConfig(pair_capacity=pair_capacity)
+    if devices > 1:
+        from gs2mesh_tpu.parallel import ShardedTrainer, make_mesh
+
+        trainer = ShardedTrainer(
+            mesh=make_mesh(data=1, gauss=devices), model=model,
+            cameras=scene.cameras, images=scene.images, cfg=cfg, rcfg=rcfg,
+            impl="pallas" if jax.default_backend() == "tpu" else "xla",
+            scene_extent=scene.nerf_norm_radius)
+    else:
+        trainer = Trainer(model=model, cameras=scene.cameras,
+                          images=scene.images, cfg=cfg, rcfg=rcfg,
+                          scene_extent=scene.nerf_norm_radius,
+                          out_dir=model_dir)
     save_set = set(save_iterations or [iterations])
     save_set.add(iterations)
 
-    def cb(tr, out):
-        if tr.iteration in save_set:
-            tr.save_checkpoint(model_dir)
+    if devices > 1:
+        # ShardedTrainer has no per-step callback; save on the cadence
+        # boundaries by chunking the iteration budget.
+        done = 0
+        for stop in sorted(s for s in save_set if s > 0):
+            stop = min(stop, iterations)
+            if stop > done:
+                trainer.train(stop - done, log_every=log_every)
+                trainer.save_checkpoint(model_dir)
+                done = stop
+        if done < iterations:
+            trainer.train(iterations - done, log_every=log_every)
+            trainer.save_checkpoint(model_dir)
+    else:
+        def cb(tr, out):
+            if tr.iteration in save_set:
+                tr.save_checkpoint(model_dir)
 
-    trainer.train(log_every=log_every, callback=cb)
+        trainer.train(log_every=log_every, callback=cb)
     return trainer
 
 
@@ -147,7 +185,7 @@ def run_single(args: PipelineArgs, base_dir: str | None = None,
         train_gs(colmap_dir, model_dir, args.GS_iterations,
                  args.GS_save_test_iterations, args.GS_white_background,
                  resolution=gs_resolution, max_views=gs_max_views,
-                 pair_capacity=pair_capacity)
+                 pair_capacity=pair_capacity, devices=args.GS_devices)
 
     # --- stage: renderer + stereo ---------------------------------------
     renderer = Renderer(base_dir, colmap_dir, strings["output_dir_root"],

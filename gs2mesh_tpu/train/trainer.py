@@ -355,35 +355,10 @@ class Trainer:
         old = self.model.capacity
         if new_capacity <= old:
             return
-
-        def pad_rows(x, fill=0.0):
-            pad = jnp.full((new_capacity - old,) + x.shape[1:], fill, x.dtype)
-            return jnp.concatenate([x, pad], axis=0)
-
-        p = self.model.params
-        self.model.params = GaussianParams(
-            xyz=pad_rows(p.xyz),
-            features_dc=pad_rows(p.features_dc),
-            features_rest=pad_rows(p.features_rest),
-            scaling=pad_rows(p.scaling, fill=-10.0),
-            rotation=pad_rows(p.rotation).at[old:, 0].set(1.0),
-            opacity=pad_rows(p.opacity, fill=DEAD_LOGIT),
-        )
-        s = self.model.state
-        self.model.state = GaussianState(
-            alive=pad_rows(s.alive, fill=False),
-            max_radii2D=pad_rows(s.max_radii2D),
-            xyz_grad_accum=pad_rows(s.xyz_grad_accum),
-            denom=pad_rows(s.denom),
-        )
-
-        def pad_opt(leaf):
-            if (hasattr(leaf, "ndim") and leaf.ndim >= 1
-                    and leaf.shape[0] == old):
-                return pad_rows(leaf)
-            return leaf
-
-        self.opt_state = jax.tree.map(pad_opt, self.opt_state)
+        params, state, self.opt_state = grow_rows(
+            self.model.params, self.model.state, self.opt_state,
+            new_capacity)
+        self.model.params, self.model.state = params, state
         self._steps.clear()          # shapes changed -> retrace
         print(f"[train] capacity {old} -> {new_capacity} "
               f"(alive {self.model.num_alive()})")
@@ -421,11 +396,17 @@ class Trainer:
         self.model.save_ply(os.path.join(
             path_dir, "point_cloud",
             f"iteration_{self.iteration}", "point_cloud.ply"))
+        # save_ply compacts alive rows to the front; permute the pickled
+        # per-row state/optimizer arrays into the SAME order so a restored
+        # model's row i and its Adam moments describe the same Gaussian
+        # (load_ply lays rows out compacted).
+        order = compact_row_order(self.model.state.alive)
+        cap = self.model.capacity
         with open(os.path.join(path_dir, f"chkpnt{self.iteration}.pkl"), "wb") as f:
             pickle.dump({
                 "iteration": self.iteration,
-                "opt_state": jax.tree.map(np.asarray, self.opt_state),
-                "state": jax.tree.map(np.asarray, self.model.state),
+                "opt_state": permute_rows(self.opt_state, order, cap),
+                "state": permute_rows(self.model.state, order, cap),
                 "active_sh_degree": self.model.active_sh_degree,
                 "spatial_lr_scale": self.model.spatial_lr_scale,
             }, f)
@@ -446,6 +427,66 @@ class Trainer:
         self.model.active_sh_degree = blob["active_sh_degree"]
         self.model.spatial_lr_scale = blob["spatial_lr_scale"]
         self.iteration = blob["iteration"]
+        # The xyz LR schedule closes over spatial_lr_scale; rebuild the
+        # optimizer so a restore into a fresh Trainer resumes the schedule.
+        self.tx = make_optimizer(self.cfg, self.model.spatial_lr_scale)
+
+
+def compact_row_order(alive) -> np.ndarray:
+    """(C,) permutation putting alive rows first (checkpoint layout of
+    save_ply / load_ply)."""
+    alive = np.asarray(alive)
+    return np.concatenate([np.nonzero(alive)[0], np.nonzero(~alive)[0]])
+
+
+def permute_rows(tree, order: np.ndarray, capacity: int):
+    """Gather every capacity-row leaf to host, permuted by ``order``."""
+
+    def fix(leaf):
+        leaf = np.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == capacity:
+            return leaf[order]
+        return leaf
+
+    return jax.tree.map(fix, tree)
+
+
+def grow_rows(params: GaussianParams, state: GaussianState, opt_state,
+              new_capacity: int):
+    """Pad params/state/optimizer capacity rows to ``new_capacity`` (the
+    static-shape analog of the reference's free tensor growth,
+    gaussian_model.py:276-327). Shared by the single-chip Trainer and the
+    multi-chip ShardedTrainer."""
+    old = params.xyz.shape[0]
+    assert new_capacity > old
+
+    def pad_rows(x, fill=0.0):
+        pad = jnp.full((new_capacity - old,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
+
+    params = GaussianParams(
+        xyz=pad_rows(params.xyz),
+        features_dc=pad_rows(params.features_dc),
+        features_rest=pad_rows(params.features_rest),
+        scaling=pad_rows(params.scaling, fill=-10.0),
+        rotation=pad_rows(params.rotation).at[old:, 0].set(1.0),
+        opacity=pad_rows(params.opacity, fill=DEAD_LOGIT),
+    )
+    state = GaussianState(
+        alive=pad_rows(state.alive, fill=False),
+        max_radii2D=pad_rows(state.max_radii2D),
+        xyz_grad_accum=pad_rows(state.xyz_grad_accum),
+        denom=pad_rows(state.denom),
+    )
+
+    def pad_opt(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == old):
+            return pad_rows(leaf)
+        return leaf
+
+    opt_state = jax.tree.map(pad_opt, opt_state)
+    return params, state, opt_state
 
 
 def _zero_opacity_moments(opt_state, capacity: int):

@@ -152,6 +152,7 @@ def test_training_overfits_synthetic_scene():
     assert psnr1 > psnr0 + 0.5, (psnr0, psnr1)
 
 
+@pytest.mark.slow
 def test_trainer_capacity_growth():
     """Host-side recapacity: when the padded pool is (nearly) full the
     Trainer doubles capacity, preserving alive rows and optimizer moments,

@@ -148,6 +148,7 @@ def test_renderer_stage(pipeline_dirs):
         assert os.path.exists(os.path.join(r.render_folder_name(0), name))
 
 
+@pytest.mark.slow
 def test_stereo_and_tsdf_stages(pipeline_dirs):
     base, colmap_dir, args, strings = pipeline_dirs
     from gs2mesh_tpu.stereo import DLNRConfig, init_dlnr_params

@@ -46,9 +46,10 @@ def main():
         r = rasterize_sharded(params, alive, cam, 0, bg, rcfg, impl=impl,
                               max_per_tile=2048)
         ax = jax.lax.axis_index("gauss")
-        loss = sharded_gs_loss(r.image_slice, r.row_valid, target, ax,
-                               cam.height, cam.width, rcfg.tile, 0.2, G)
-        return loss, r.image_slice
+        total, partial = sharded_gs_loss(r.image_slice, r.row_valid, target,
+                                         ax, cam.height, cam.width,
+                                         rcfg.tile, 0.2, G)
+        return total, partial.reshape(1), r.image_slice
 
     def spec(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == 512:
@@ -58,14 +59,18 @@ def main():
     pspecs = jax.tree.map(spec, model.params)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(pspecs, P("gauss"), P(), P()),
-                   out_specs=(P(), P(None, "gauss", None)), check_vma=False)
+                   out_specs=(P(), P("gauss"), P(None, "gauss", None)),
+                   check_vma=False)
 
     @jax.jit
     def sharded_loss_and_grad(params, alive, target, bg):
         def f(p):
-            return fn(p, alive, target, bg)[0]
+            # Sum of per-device partials (+ the lambda constant) == total;
+            # differentiating the partials avoids the G-fold psum-transpose
+            # factor (see parallel.sharded_train.sharded_gs_loss).
+            return jnp.sum(fn(p, alive, target, bg)[1]) + 0.2
         loss, g = jax.value_and_grad(f)(params)
-        img = fn(params, alive, target, bg)[1]
+        img = fn(params, alive, target, bg)[2]
         return loss, g, img
 
     loss_s, g_s, img_s = sharded_loss_and_grad(
