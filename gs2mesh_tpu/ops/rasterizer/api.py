@@ -69,28 +69,39 @@ def rasterize(means3d: jnp.ndarray,
     # carries the nine feature columns (emit.py), so there is no separate
     # pair gather stage.
     from gs2mesh_tpu.ops.rasterizer.emit import build_feat9, emit_sorted_pairs
-    pair_feat, aux = emit_sorted_pairs(
-        build_feat9(prep), prep.depths, prep.rect, prep.tiles_touched,
-        camera.width, camera.height, cfg)
-    # Stage boundary: keep XLA from fusing the index-plumbing stage into
-    # the compositing graph (compile-time pathology on CPU, no perf value).
-    pair_feat, starts, counts = jax.lax.optimization_barrier(
-        (pair_feat, aux.tile_starts, aux.tile_counts))
 
     gx, gy = cfg.grid_size(camera.width, camera.height)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from gs2mesh_tpu.ops.rasterizer.pallas_kernels import render_tiles_pallas
-        color_t, T_t = render_tiles_pallas(
-            pair_feat, starts, counts, gx, gy, cfg)
+    if impl == "pallas" and cfg.feat_carry_bf16:
+        # Production TPU path: ONE custom-vjp spanning emit + composite so
+        # the backward stays in the compacted gradient layout (fused.py).
+        from gs2mesh_tpu.ops.rasterizer.fused import emit_render_fused
+        color_t, T_t, aux = emit_render_fused(
+            build_feat9(prep), prep.depths, prep.rect, prep.tiles_touched,
+            camera.width, camera.height, cfg)
         tile_overflow = jnp.zeros((), bool)
-    elif impl == "xla":
-        color_t, T_t = tile_render.render_tiles_xla(
-            pair_feat, starts, counts, gx, gy, cfg, max_per_tile)
-        tile_overflow = jnp.any(counts > max_per_tile)
     else:
-        raise ValueError(f"unknown impl {impl!r}")
+        pair_feat, aux = emit_sorted_pairs(
+            build_feat9(prep), prep.depths, prep.rect, prep.tiles_touched,
+            camera.width, camera.height, cfg)
+        # Stage boundary: keep XLA from fusing the index-plumbing stage into
+        # the compositing graph (compile-time pathology on CPU, no perf
+        # value).
+        pair_feat, starts, counts = jax.lax.optimization_barrier(
+            (pair_feat, aux.tile_starts, aux.tile_counts))
+        if impl == "pallas":        # exact-carry parity/golden path
+            from gs2mesh_tpu.ops.rasterizer.pallas_kernels import \
+                render_tiles_pallas
+            color_t, T_t = render_tiles_pallas(
+                pair_feat, starts, counts, gx, gy, cfg)
+            tile_overflow = jnp.zeros((), bool)
+        elif impl == "xla":
+            color_t, T_t = tile_render.render_tiles_xla(
+                pair_feat, starts, counts, gx, gy, cfg, max_per_tile)
+            tile_overflow = jnp.any(counts > max_per_tile)
+        else:
+            raise ValueError(f"unknown impl {impl!r}")
 
     color, final_T = tile_render.assemble_image(
         color_t, T_t, gx, gy, camera.width, camera.height, cfg.tile)

@@ -58,14 +58,14 @@ class RasterizerConfig:
     # kernels including the strided (row_stride > 1) decode. Production
     # code never sets this; on TPU it is a no-op.
     force_pallas: bool = False
-    # Backward cotangent compaction: chunks whose cotangents are exactly
-    # zero (early-termination zero-fill) are dropped before the per-gaussian
-    # reduction sort. Static capacity as a fraction of pair chunks; when the
-    # live count exceeds it the backward falls back to the full-size sort
-    # (correctness never depends on the fraction). Saturated scenes measure
-    # ~23% live on v5e; 0.375 keeps ~60% headroom while the compacted sort
-    # stays 25% cheaper than at 0.5.
-    bwd_compact_frac: float = 0.375
+    # Backward cotangent compaction: the render backward appends only the
+    # chunks it computes (fused path) / zero chunks are dropped before the
+    # reduction sort (fallback path). Static sort capacity as a fraction of
+    # pair chunks; when the live count exceeds it the backward falls back
+    # to the full-size sort (correctness never depends on the fraction).
+    # The bench scene measures ~26-27% computed chunks on v5e; 0.3 keeps
+    # ~12% headroom plus the always-correct fallback.
+    bwd_compact_frac: float = 0.3
 
     @property
     def pixels_per_tile(self) -> int:

@@ -818,11 +818,18 @@ def _emit_fwd(feat9, depths, rect, tiles_touched, width, height, cfg,
             jax.lax.stop_gradient(rect),
             jax.lax.stop_gradient(tiles_touched), cfg)
         C = K // 128
-        chunk0 = (jnp.arange(C, dtype=i32) * 128).astype(f32)
-        # Barrier: materialize the offset column once (see emission_core).
+        # Per-chunk table-block index WITHOUT a bisect (the 19-round binary
+        # search cost ~2.7 ms at C=20480 on v5e — 1-D gathers price every
+        # round). Identity: with m = #(offsets <= 128c), the block index
+        # max(m-1, 0)//128 equals #{j >= 1 : eo[128j] <= 128c} (a group's
+        # start offset being covered is exactly the block count ticking up),
+        # so scatter each group start's first covered chunk (+1) and
+        # prefix-sum over chunks — one tiny scatter + one cumsum.
         eo = jax.lax.optimization_barrier(ctable[:, 1])
-        r_start = _bisect_right(eo, chunk0) - 1
-        blk = jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
+        gstart = eo[128::128]                       # starts of groups 1..
+        cmin = jnp.clip(jnp.ceil(gstart * (1.0 / 128.0)).astype(i32), 0, C)
+        delta = jnp.zeros((C + 1,), i32).at[cmin].add(1, mode="drop")
+        blk = jnp.clip(jnp.cumsum(delta[:C]), 0, nb128 - 1)
         key, mxs, mys, p1, p2, rgb32 = emission_decode_pallas(
             ctable, blk, num_pairs, width, height, cfg, row_offset)
         payload = (mxs, mys, p1, p2, rgb32)
@@ -905,6 +912,52 @@ def _reduce_sorted_cts(ct3d, ids2d, n_rows: int, cfg: RasterizerConfig):
         + [jnp.zeros((NCH, FEAT - NCOLS - 1, chunk), f32),
            ids_f.reshape(NCH, 1, chunk)], axis=1)
     return segment_sum_tpu(ct_s3d, block_c0, block_nc, n_rows, cfg)
+
+
+def reduce_compact_cts(dpairs, n_written, n_rows: int,
+                       cfg: RasterizerConfig, force_sort_path: bool = False):
+    """Per-gaussian reduction of a KERNEL-COMPACTED cotangent stream.
+
+    dpairs: (KC, FEAT, chunk) from pallas_kernels.bwd_call_compact — chunks
+    [0, n_written) are live (rows 0..8 cotangents, row IDCOL the bitcast
+    per-pair gaussian ids), chunks beyond are garbage. Masks the garbage
+    (sentinel ids + zero payload: stale bits can be NaN patterns, and a
+    0*NaN inside the one-hot segment matmul would poison the sum), then
+    runs the id-sort + MXU segment sum. The fast path sorts only the
+    ``bwd_compact_frac`` prefix; the (never-hit-in-practice) overflow path
+    falls back to the full-size sort."""
+    KC = dpairs.shape[0]
+    chunk = cfg.chunk
+
+    if jax.default_backend() != "tpu" and not force_sort_path:
+        # CPU/interpret: exact scatter-add keyed on the carried ids (same
+        # as _emit_bwd's off-TPU path — no bf16 cotangent carry).
+        live = jnp.arange(KC, dtype=i32) < n_written
+        ids2d = jax.lax.bitcast_convert_type(dpairs[:, FEAT - 1, :], i32)
+        ids = jnp.where(live[:, None], ids2d, n_rows).reshape(-1)
+        safe = jnp.where((ids >= 0) & (ids < n_rows), ids, n_rows)
+        flat = dpairs.transpose(0, 2, 1).reshape(KC * chunk, FEAT)
+        flat = jnp.where(live[:, None].repeat(chunk, 1).reshape(-1, 1),
+                         flat, 0.0)
+        return jnp.zeros((n_rows, FEAT), f32).at[safe].add(flat, mode="drop")
+
+    cap = min(KC, max(256, int(KC * cfg.bwd_compact_frac)))
+
+    def reduce_prefix(ct):
+        S = ct.shape[0]
+        live = jnp.arange(S, dtype=i32) < n_written
+        ids2d = jax.lax.bitcast_convert_type(ct[:, FEAT - 1, :], i32)
+        ids2d = jnp.where(live[:, None], ids2d, (1 << 22) - 1)
+        ct = jnp.where(live[:, None, None], ct, 0.0)
+        return _reduce_sorted_cts(ct, ids2d, n_rows, cfg)
+
+    if cap >= KC:
+        return reduce_prefix(dpairs)
+    return jax.lax.cond(
+        n_written <= cap,
+        lambda _: reduce_prefix(dpairs[:cap]),
+        lambda _: reduce_prefix(dpairs),
+        None)
 
 
 def _emit_bwd_tpu(ct3d, ids_sorted, n_rows: int, cfg: RasterizerConfig):

@@ -43,6 +43,7 @@ from gs2mesh_tpu.ops.rasterizer.tile_render import FEAT
 
 f32 = jnp.float32
 HI = jax.lax.Precision.HIGHEST
+NC_G = 9   # gradient-carrying feature rows (x, y, conic a/b/c, op, rgb)
 
 
 def _mm_prec(carry_bf16: bool):
@@ -271,7 +272,26 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
                      color_in_ref, finalT_ref, dC_ref, dTf_ref,
                      dpairs_hbm, ndone_ref,
                      bufs, gbufs, rbuf, sems, gsems, rsem,
-                     *, gx: int, cfg: RasterizerConfig):
+                     *, gx: int, cfg: RasterizerConfig,
+                     compact: bool = False, cnt_ref=None, nw_ref=None):
+    """Replay-backward over one tile's chunk stream.
+
+    Two write layouts:
+      * compact=False — per-chunk gradients land at their SORTED positions
+        (c0 + i); the VJP zero-fills skipped chunks using ndone_ref.
+      * compact=True — gradients are APPENDED contiguously from slot 0 via
+        an SMEM running counter that persists across the sequential grid
+        (cnt_ref = [ctr, last_written_global_chunk]); each written chunk
+        carries its per-pair gaussian ids (recovered from the mean-mantissa
+        carry, emit.stuff_ids) bitcast into feature row IDCOL_G, so the
+        downstream per-gaussian reduction needs NO liveness scan, NO
+        permutation gather and NO zero-fill — the compacted stream IS the
+        reduction input (emit.reduce_compact_cts). A tile whose first chunk
+        is shared with the previously-appended chunk read-adds and
+        overwrites slot ctr-1 instead of appending a duplicate (duplicates
+        would double-count in the segment sum). Requires the packed bf16
+        feature carry (ids embedded in the means).
+    """
     tile, chunk = cfg.tile, cfg.chunk
     P = cfg.pixels_per_tile
     t = pl.program_id(0)
@@ -284,17 +304,36 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     # (if any) writes per-chunk so the next tile's chunks are never touched.
     full_spans = nchunks // SPAN_BWD
 
+    if compact:
+        @pl.when(t == 0)
+        def _():
+            cnt_ref[0] = 0                     # next append slot
+            cnt_ref[1] = -1                    # last written global chunk
+        ctr = cnt_ref[0]
+        last_chunk = cnt_ref[1]
+        # Shared first chunk: the previous nonempty tile's LAST written chunk
+        # is this tile's first chunk (ranges are disjoint ascending, so this
+        # is exactly the lo % chunk != 0 boundary case unless that tile
+        # early-exited before reaching it — then its contribution is zero
+        # and a fresh append is correct).
+        shared = (jax.lax.rem(lo, chunk) != 0) & (last_chunk == c0)
+        base_slot = jnp.where(shared, ctr - 1, ctr)
+    else:
+        shared = jax.lax.rem(lo, chunk) != 0
+        base_slot = c0
+
     px, py = _pixel_coords(tile, P)
-    # Shared (6, P) tile-local monomial basis: forward quadratic form and
-    # backward moment reductions both run as matmuls against it.
-    basis = _power_basis(px, py, P)
+    # (6, P) monomial basis for the backward moment matmul, CENTERED at the
+    # tile center and NORMALIZED by tile/2 (see the moment-cancellation
+    # note in chunk_grads; both constants are exact powers of two).
+    basis = _power_basis((px - f32((tile - 1) / 2)) * f32(2.0 / tile),
+                         (py - f32((tile - 1) / 2)) * f32(2.0 / tile), P)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     # Boundary-chunk accumulator: a tile whose range starts mid-chunk shares
     # its first chunk with the previous tile(s); the sequential TPU grid
     # guarantees their writeback finished, so we read-add instead of
     # overwriting. rbuf is zeroed so unshared chunks add exact zeros.
     rbuf[...] = jnp.zeros((FEAT, chunk), f32)
-    first_shared_tile = jax.lax.rem(lo, chunk) != 0
 
     dC = dC_ref[0]                                       # (3, P)
     T_fin = finalT_ref[0]                                # (1, P)
@@ -312,12 +351,13 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
 
     def dma_out_span(slot, si):
         return pltpu.make_async_copy(
-            gbufs.at[slot], dpairs_hbm.at[pl.ds(c0 + si * SPAN_BWD, SPAN_BWD)],
+            gbufs.at[slot],
+            dpairs_hbm.at[pl.ds(base_slot + si * SPAN_BWD, SPAN_BWD)],
             gsems.at[slot])
 
     def dma_out_chunk(slot, j, ci):
         return pltpu.make_async_copy(gbufs.at[slot, j],
-                                     dpairs_hbm.at[c0 + ci],
+                                     dpairs_hbm.at[base_slot + ci],
                                      gsems.at[slot])
 
     # Span-0 protocol: prefetched by the previous grid step (see forward).
@@ -333,7 +373,7 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         return (si < nspans) & (jnp.min(done) < 0.5)
 
     def dma_acc():
-        return pltpu.make_async_copy(dpairs_hbm.at[c0], rbuf, rsem)
+        return pltpu.make_async_copy(dpairs_hbm.at[base_slot], rbuf, rsem)
 
     def chunk_grads(i, T_pix, done, U_run, feat):
         """Per-chunk gradient math; feat: (FEAT, chunk)."""
@@ -346,14 +386,40 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         c = _composite_core(v, T_pix, done, cfg, chunk)
         T_g, w = c["T_g"], c["w"]
 
-        # u = c_g . dC per (gaussian, pixel)
+        # u = c_g . dC per (gaussian, pixel). Packed mode keeps DEFAULT
+        # precision: the (chunk, P)-sized output makes the 6-pass exact
+        # path ~2 ms/frame, and u's rounding enters dalpha RELATIVELY
+        # (no cancellation chain — unlike the moment matmul below).
         u = jax.lax.dot_general(
             v["rgb"], dC, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
             precision=_mm_prec(cfg.grad_carry_bf16))     # (chunk, P)
         uw = u * w
-        U_incl = U_run + _incl_scan(uw, chunk)
-        S = U_tot - U_incl
+        if cfg.grad_carry_bf16:
+            # The suffix S_g = sum_{g'>g} uw is what dalpha needs; compute
+            # it as  (future-chunk remainder, exact f32 differences)
+            #      + (within-chunk STRICT-UPPER-triangular bf16 MXU matmul)
+            # replacing the 7-step VPU shift-add scan (the scans were 14 of
+            # ~45 wide ops per chunk). The triangular matmul must produce
+            # the SUFFIX, not the prefix: S = U_tot - prefix would subtract
+            # two large accumulations whose bf16-term error dwarfs the
+            # small late-gaussian suffixes; the direct suffix keeps the
+            # bf16 noise RELATIVE to each suffix's own magnitude — the same
+            # order the packed cotangent carry already accepts. Exact-carry
+            # mode (parity/golden) keeps the VPU scan.
+            csum = jnp.sum(uw, axis=0, keepdims=True)    # (1, P) f32
+            ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+            triu = (ci > ri).astype(jnp.bfloat16)        # strict upper
+            suffix = jax.lax.dot_general(
+                triu, uw.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)              # (chunk, P)
+            S = (U_tot - U_run - csum) + suffix
+            U_new = U_run + csum
+        else:
+            U_incl = U_run + _incl_scan(uw, chunk)
+            S = U_tot - U_incl
+            U_new = U_incl[-1:]
 
         # The reference gates dalpha on acceptance AND alpha > threshold;
         # alpha_eff == 0 rows contribute dalpha * alpha_raw == dpower == 0
@@ -371,18 +437,32 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         # MXU matmul against the per-tile monomial basis — replaces six VPU
         # lane reductions. Gives the closed-form conic/mean gradients without
         # materializing dx/dy products twice.
+        # The conic/mean gradients below are DIFFERENCES of these moments
+        # (gxs'^2*M0 - 2*gxs'*Mx + Mxx, ...). Over the RAW tile-local basis
+        # the cancelling terms sit up to ~10^3 apart, so the packed mode's
+        # one-pass matmul put ~25% p99 noise on the scale/rotation grads
+        # (measured on v5e vs the packed XLA fallback; a 6-pass exact
+        # matmul fixes it but costs ~3 ms/frame — Mosaic pads the 6-wide
+        # output to 128 lanes). Instead the basis is CENTERED at the tile
+        # center and NORMALIZED by tile/2 (exact powers of two), bounding
+        # the monomials by ~1 and the centered means by ~3: the cancelling
+        # terms shrink ~200x, putting the one-pass rounding back below the
+        # carry noise. The s/s^2 rescale constants fold into the S* terms.
         M = jax.lax.dot_general(
             dpower, basis, (((1,), (1,)), ((), ())),
             preferred_element_type=f32,
             precision=_mm_prec(cfg.grad_carry_bf16))     # (chunk, 6)
         M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
         Mxx, Mxy, Myy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
-        gxs, gys = v["gxs"], v["gys"]
-        Sdx2 = gxs * gxs * M0 - 2.0 * gxs * Mx + Mxx     # sum dpower*dx^2
-        Sdxy = gxs * gys * M0 - gxs * My - gys * Mx + Mxy
-        Sdy2 = gys * gys * M0 - 2.0 * gys * My + Myy
-        Sdx = gxs * M0 - Mx
-        Sdy = gys * M0 - My
+        bs = f32(cfg.tile / 2)
+        bc = f32((cfg.tile - 1) / 2)
+        gxs = (v["gxs"] - bc) * (1.0 / bs)               # normalized centers
+        gys = (v["gys"] - bc) * (1.0 / bs)
+        Sdx2 = (bs * bs) * (gxs * gxs * M0 - 2.0 * gxs * Mx + Mxx)
+        Sdxy = (bs * bs) * (gxs * gys * M0 - gxs * My - gys * Mx + Mxy)
+        Sdy2 = (bs * bs) * (gys * gys * M0 - 2.0 * gys * My + Myy)
+        Sdx = bs * (gxs * M0 - Mx)
+        Sdy = bs * (gys * M0 - My)
 
         d_gx = -(v["ca"] * Sdx + v["cb"] * Sdy)
         d_gy = -(v["cc"] * Sdy + v["cb"] * Sdx)
@@ -397,16 +477,30 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
             preferred_element_type=f32,
             precision=_mm_prec(cfg.grad_carry_bf16))     # (chunk, 3)
 
-        g = jnp.concatenate(
-            [d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_rgb,
-             jnp.zeros((chunk, FEAT - 9), f32)], axis=1)  # (chunk, FEAT)
-        U_new = U_run + jnp.sum(uw, axis=0, keepdims=True)
+        if compact:
+            # Per-pair gaussian ids recovered from the mean-mantissa carry
+            # (emit.stuff_ids) ride the last feature row as BITCAST f32:
+            # pure data movement only — any arithmetic would flush the
+            # denormal bit patterns to zero on the VPU.
+            fu0 = jax.lax.bitcast_convert_type(v["gxs"], jnp.uint32)
+            fu1 = jax.lax.bitcast_convert_type(v["gys"], jnp.uint32)
+            ids = ((fu0 & jnp.uint32(0x7FF))
+                   | ((fu1 & jnp.uint32(0x7FF)) << 11))
+            idrow = jax.lax.bitcast_convert_type(ids, f32)  # (chunk, 1)
+            g = jnp.concatenate(
+                [d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_rgb,
+                 jnp.zeros((chunk, FEAT - 10), f32), idrow],
+                axis=1)                                   # (chunk, FEAT)
+        else:
+            g = jnp.concatenate(
+                [d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_rgb,
+                 jnp.zeros((chunk, FEAT - 9), f32)], axis=1)
         return g.T, c["T_new"], c["done_new"], U_new
 
     def body(state):
         si, T_pix, done, U_run = state
         slot = jax.lax.rem(si, 2)
-        first_shared = (si == 0) & first_shared_tile
+        first_shared = (si == 0) & shared
 
         @pl.when(first_shared)
         def _():
@@ -436,7 +530,14 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
             dma_acc().wait()
 
         flag = jnp.where(first_shared, 1.0, 0.0)
-        gbufs[slot, 0] = gs[0] + rbuf[...] * flag        # (FEAT, chunk)
+        if compact:
+            # Read-add rows 0..8 only; the id row is copied verbatim (the
+            # previously-appended chunk carries the SAME ids).
+            g0 = gs[0]
+            gbufs[slot, 0] = jnp.concatenate(
+                [g0[:NC_G] + rbuf[:NC_G] * flag, g0[NC_G:]], axis=0)
+        else:
+            gbufs[slot, 0] = gs[0] + rbuf[...] * flag    # (FEAT, chunk)
         for j in range(1, SPAN_BWD):
             gbufs[slot, j] = gs[j]
 
@@ -478,16 +579,27 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
     def _():
         dma_out_span(jax.lax.rem(s_end - 1, 2), s_end - 1).wait()
 
-    # Early exit skipped chunks [ndone, nchunks). The VJP zero-fills the
-    # wholly-owned ones, but the LAST chunk may be shared with (read-added
-    # by) the next tiles, so it must hold zeros — write them now that all
-    # slot DMAs are drained.
-    @pl.when((ndone < nchunks) & (nchunks > 0))
-    def _():
-        gbufs[0, 0] = jnp.zeros((FEAT, chunk), f32)
-        zw = dma_out_chunk(0, 0, nchunks - 1)
-        zw.start()
-        zw.wait()
+    if compact:
+        # Append-state update: skipped chunks are simply never appended
+        # (no zero-fill anywhere); a following tile sharing the last chunk
+        # appends fresh when this tile early-exited before reaching it
+        # (its contribution is exactly zero).
+        @pl.when(nchunks > 0)
+        def _():
+            cnt_ref[0] = base_slot + ndone
+            cnt_ref[1] = c0 + ndone - 1
+        nw_ref[0] = cnt_ref[0]
+    else:
+        # Early exit skipped chunks [ndone, nchunks). The VJP zero-fills
+        # the wholly-owned ones, but the LAST chunk may be shared with
+        # (read-added by) the next tiles, so it must hold zeros — write
+        # them now that all slot DMAs are drained.
+        @pl.when((ndone < nchunks) & (nchunks > 0))
+        def _():
+            gbufs[0, 0] = jnp.zeros((FEAT, chunk), f32)
+            zw = dma_out_chunk(0, 0, nchunks - 1)
+            zw.start()
+            zw.wait()
 
     # Prefetch the NEXT tile's first input span (span-0 protocol).
     @pl.when(t + 1 < pl.num_programs(0))
@@ -582,6 +694,70 @@ def _bwd_call(pair_feat, tile_starts, tile_counts, color, finalT, dC, dTf,
     )(tile_starts, tile_counts, pair_feat, color,
       finalT[:, None, :], dC, dTf[:, None, :])
     return dpairs, ndone
+
+
+def _backward_kernel_compact(starts_ref, counts_ref, pairs_hbm, color_in_ref,
+                             finalT_ref, dC_ref, dTf_ref,
+                             dpairs_hbm, ndone_ref, nw_ref,
+                             bufs, gbufs, rbuf, sems, gsems, rsem, cnt_ref,
+                             *, gx: int, cfg: RasterizerConfig):
+    _backward_kernel(starts_ref, counts_ref, pairs_hbm, color_in_ref,
+                     finalT_ref, dC_ref, dTf_ref, dpairs_hbm, ndone_ref,
+                     bufs, gbufs, rbuf, sems, gsems, rsem,
+                     gx=gx, cfg=cfg, compact=True, cnt_ref=cnt_ref,
+                     nw_ref=nw_ref)
+
+
+def bwd_call_compact(pair_feat, tile_starts, tile_counts, color, finalT,
+                     dC, dTf, gx: int, gy: int, cfg: RasterizerConfig):
+    """Compacted-append backward: gradients of the ~25% computed chunks land
+    contiguously from slot 0, each chunk carrying its gaussian ids in row
+    FEAT-1. Returns (dpairs (K/chunk, FEAT, chunk) — live prefix
+    [0, n_written), garbage beyond — and n_written ()). Consumed by
+    emit.reduce_compact_cts; kills the liveness reduce + permutation gather
+    + VJP zero-fill of the positional layout."""
+    num_tiles = gx * gy
+    P = cfg.pixels_per_tile
+    KC = cfg.pair_capacity // cfg.chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 3, P), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, SPAN_BWD, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((2, SPAN_BWD, FEAT, cfg.chunk), f32),
+            pltpu.VMEM((FEAT, cfg.chunk), f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    dpairs, _, nw = pl.pallas_call(
+        functools.partial(_backward_kernel_compact, gx=gx, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((KC, FEAT, cfg.chunk), f32),
+                   jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)],
+        interpret=_interpret(),
+    )(tile_starts, tile_counts, pair_feat, color,
+      finalT[:, None, :], dC, dTf[:, None, :])
+    return dpairs, nw[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

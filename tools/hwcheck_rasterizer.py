@@ -52,6 +52,31 @@ def main():
         rel = err / (np.abs(a).max() + 1e-12)
         print(f"grad {n:6s}: maxabs {err:.3e}  rel {rel:.3e}")
         ok &= rel < 5e-3
+
+    # Phase 2: the PRODUCTION packed-carry fused path (emit_render_fused:
+    # compacted backward + id-carrying append) vs the packed XLA fallback.
+    # Expected agreement: the carries round features/cotangents to bf16, so
+    # ~1e-2 relative on the worst gradient row (the compositors also differ
+    # in float-op order).
+    cfgp = RasterizerConfig(pair_capacity=1 << 14, sort_stable=True)
+
+    def mklossp(impl):
+        def loss(*a):
+            o = rasterize(*a, CAM, 0, bg=BG, cfg=cfgp, impl=impl,
+                          max_per_tile=4096)
+            return jnp.mean(o.image ** 2)
+        return loss
+
+    gx = jax.jit(lambda a: jax.grad(mklossp("xla"),
+                                    argnums=(0, 1, 2, 3, 4))(*a))(args)
+    gp = jax.jit(lambda a: jax.grad(mklossp("pallas"),
+                                    argnums=(0, 1, 2, 3, 4))(*a))(args)
+    for n, a, b in zip(names, gx, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max()
+        rel = err / (np.abs(a).max() + 1e-12)
+        print(f"packed grad {n:6s}: maxabs {err:.3e}  rel {rel:.3e}")
+        ok &= rel < 3e-2
     print("OK" if ok else "MISMATCH")
 
 
