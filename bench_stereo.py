@@ -32,20 +32,21 @@ def main():
     left = jnp.asarray(rng.uniform(0, 255, (1, 3, H, W)).astype(np.float32))
     right = jnp.asarray(rng.uniform(0, 255, (1, 3, H, W)).astype(np.float32))
 
-    # One jitted single-pass DLNR, invoked twice per view (L->R, then the
-    # flipped R->L) — the same structure the pipeline's Stereo stage uses
-    # (stereo_stage.py jits single dlnr_forward calls).
+    # One jitted BATCHED pass per view: rows [L->R, flipped R->L] — the
+    # same structure the pipeline's Stereo stage uses (stereo_stage.py
+    # batches both directions into one dlnr_forward call; the flip trick
+    # makes them the same network problem).
     @jax.jit
-    def one_pass(l, r):
-        return dlnr_forward(params, l, r, cfg)
+    def view_pass(l, r):
+        b1 = jnp.concatenate([l, r[..., ::-1]], axis=0)
+        b2 = jnp.concatenate([r, l[..., ::-1]], axis=0)
+        return dlnr_forward(params, b1, b2, cfg)
 
-    o = one_pass(left, right)
+    o = view_pass(left, right)
     jax.block_until_ready(o)
 
     def view_unit(l, r):
-        d_lr = one_pass(l, r)
-        d_rl = one_pass(l[..., ::-1], r[..., ::-1])
-        return d_lr, d_rl
+        return view_pass(l, r)
 
     n = 5
     t0 = time.perf_counter()
@@ -61,12 +62,19 @@ def main():
     mpix_s = (H * W) / dt / 1e6
     print(f"per-view (2x DLNR @ {iters} iters, {W}x{H}): {dt * 1e3:.1f} ms",
           file=sys.stderr)
-    print(json.dumps({
+    result = {
         "metric": "stereo_dlnr_view_throughput",
         "value": round(mpix_s, 3),
         "unit": "Mpixels/s/chip",
-        "vs_baseline": None,
-    }))
+        "per_view_ms": round(dt * 1e3, 1),
+        "config": f"1 batched [LR, RL] DLNR pass, {iters} iters, "
+                  f"{W}x{H}, f32 (XLA default bf16-matmul precision)",
+    }
+    print(json.dumps(result))
+    import os
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_STEREO.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -448,6 +448,11 @@ def _backward_kernel(starts_ref, counts_ref, pairs_hbm,
         # the monomials by ~1 and the centered means by ~3: the cancelling
         # terms shrink ~200x, putting the one-pass rounding back below the
         # carry noise. The s/s^2 rescale constants fold into the S* terms.
+        # Rejected alternatives (all measured on v5e, bench scene): 6-pass
+        # HIGHEST +3.3 ms (Mosaic pads the 6-wide output to 128 lanes), a
+        # 2-pass hi/lo operand split +1.8 ms — both drop the bench below
+        # the 12 Mpix/s bar. Exact-carry mode (grad_carry_bf16=False) runs
+        # HIGHEST for reference-grade gradients.
         M = jax.lax.dot_general(
             dpower, basis, (((1,), (1,)), ((), ())),
             preferred_element_type=f32,

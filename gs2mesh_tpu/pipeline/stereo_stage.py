@@ -90,23 +90,36 @@ class Stereo:
             image1 = _load_image(os.path.join(output_dir, "left.png"))
             image2 = _load_image(os.path.join(output_dir, "right.png"))
 
+            # Both directions ride ONE batched forward (rows: [LR, RL]):
+            # the RL pass is the flip trick (stereo_utils.py:112-119), so
+            # flipping makes both directions the same network problem and
+            # batch=2 doubles the conv/matmul arithmetic intensity — ~1/3
+            # off the per-view wall time vs two batch-1 passes on v5e.
+            # (Eval-mode BatchNorm + instance norm are per-sample: the
+            # batched rows are bit-independent.)
             disparities = {}
-            for direction in ("LR", "RL"):
-                padder = self.input_padder(image1.shape, divis_by=32)
-                im1, im2 = padder.pad(image1, image2)
+            padder = self.input_padder(image1.shape, divis_by=32)
+            im1, im2 = padder.pad(image1, image2)
+            b1 = np.concatenate([im1, im2[..., ::-1]], axis=0)
+            b2 = np.concatenate([im2, im1[..., ::-1]], axis=0)
+            warm = (self.args.stereo_warm
+                    and prev_flows["LR"] is not None
+                    and prev_flows["RL"] is not None)
+            flow_init = (np.concatenate([prev_flows["LR"],
+                                         prev_flows["RL"]], axis=0)
+                         if warm else None)
+            prev_flow, flow_up = self._forward(b1, b2, flow_init)
+            prev_flow = np.asarray(prev_flow)
+            flow_up = np.asarray(flow_up)
+            for bi, direction in enumerate(("LR", "RL")):
+                pf = prev_flow[bi:bi + 1]
+                fu = flow_up[bi:bi + 1]
                 if direction == "RL":
-                    im1, im2 = im2[..., ::-1].copy(), im1[..., ::-1].copy()
-                flow_init = prev_flows[direction] if self.args.stereo_warm \
-                    else None
-                prev_flow, flow_up = self._forward(im1, im2, flow_init)
-                prev_flow = np.asarray(prev_flow)
-                flow_up = np.asarray(flow_up)
-                if direction == "RL":
-                    prev_flow = prev_flow[..., ::-1]
-                    flow_up = flow_up[..., ::-1]
-                flow_up = padder.unpad(flow_up).squeeze()
-                prev_flows[direction] = prev_flow
-                disparities[direction] = self.disparity_sign * flow_up
+                    pf = pf[..., ::-1]
+                    fu = fu[..., ::-1]
+                fu = padder.unpad(fu).squeeze()
+                prev_flows[direction] = pf
+                disparities[direction] = self.disparity_sign * fu
 
                 out_sub = os.path.join(output_dir, f"out_{self.model_name}")
                 os.makedirs(out_sub, exist_ok=True)

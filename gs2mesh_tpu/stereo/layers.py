@@ -158,11 +158,19 @@ def channel_attention(x, p, num_heads):
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
     qc, kc = _mm_operands(q, k)
-    attn = jnp.einsum("bhcn,bhdn->bhcd", qc, kc,
-                      preferred_element_type=f32) * p["temperature"][:, :, :]
+    # Per-sample dots (static unroll over the small batch): the batched
+    # (b, heads, C, H*W) dot's Mosaic lowering scope-allocates the whole
+    # stacked operand in VMEM and overflows the 16M scoped limit at b=2
+    # (the [LR, RL]-batched stereo pass); per-sample shapes compile to the
+    # same kernels the b=1 path always used.
+    attn = jnp.stack([
+        jnp.einsum("hcn,hdn->hcd", qc[i], kc[i], preferred_element_type=f32)
+        for i in range(b)]) * p["temperature"][:, :, :]
     attn = jax.nn.softmax(attn, axis=-1)
     ac, vc = _mm_operands(attn, v)
-    out = jnp.einsum("bhcd,bhdn->bhcn", ac, vc, preferred_element_type=f32)
+    out = jnp.stack([
+        jnp.einsum("hcd,hdn->hcn", ac[i], vc[i], preferred_element_type=f32)
+        for i in range(b)])
     out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
     return conv2d(out, p["project_out"], padding=0)
 
