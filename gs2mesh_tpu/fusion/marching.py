@@ -201,12 +201,17 @@ def _emit_mesh(m, active_cells, sd_at, color_at, vdims, origin, voxel_size):
     ntri = _COUNTS[m].astype(np.int64)                        # (M,)
     tvalid = np.arange(_MAX_TRIS)[None, :] < ntri[:, None]    # (M, 12)
 
-    ca = tris[..., 0].astype(np.int64)                        # (M, 12, 3)
-    cb = tris[..., 1].astype(np.int64)
-    ca_off = _CORNER_OFF[np.clip(ca, 0, 7)]                   # (M, 12, 3, 3)
-    cb_off = _CORNER_OFF[np.clip(cb, 0, 7)]
-    pa = active_cells[:, None, None, :] + ca_off              # grid coords
-    pb = active_cells[:, None, None, :] + cb_off
+    # Compact to the VALID triangles first (avg ~2.5 of the 12 table
+    # slots): the edge-key build below runs on 5x fewer rows — at DTU
+    # scale this is most of the extraction wall time.
+    tidx = np.nonzero(tvalid.reshape(-1))[0]                  # (F,)
+    tris_v = tris.reshape(-1, 3, 2)[tidx]                     # (F, 3, 2)
+    cells_v = active_cells[tidx // _MAX_TRIS]                 # (F, 3)
+
+    ca_off = _CORNER_OFF[tris_v[..., 0].astype(np.int64)]     # (F, 3, 3)
+    cb_off = _CORNER_OFF[tris_v[..., 1].astype(np.int64)]
+    pa = cells_v[:, None, :] + ca_off                         # grid coords
+    pb = cells_v[:, None, :] + cb_off
 
     def gid(p):
         return (p[..., 0] * Y + p[..., 1]) * Z + p[..., 2]
@@ -214,16 +219,10 @@ def _emit_mesh(m, active_cells, sd_at, color_at, vdims, origin, voxel_size):
     ga, gb = gid(pa), gid(pb)
     lo = np.minimum(ga, gb)
     hi = np.maximum(ga, gb)
-    ekey = lo * (X * Y * Z) + hi                              # (M, 12, 3)
+    ekey = lo * (X * Y * Z) + hi                              # (F, 3)
 
-    flat_valid = np.repeat(tvalid[:, :, None], 3, axis=2).reshape(-1)
-    ekey_f = ekey.reshape(-1)[flat_valid]
-    uniq, inv = np.unique(ekey_f, return_inverse=True)
-
-    faces = np.full((ekey.size,), -1, np.int64)
-    faces[flat_valid] = inv
-    faces = faces.reshape(-1, 3)
-    faces = faces[tvalid.reshape(-1)].astype(np.int32)        # (F, 3)
+    uniq, inv = np.unique(ekey.reshape(-1), return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int32)               # (F, 3)
 
     elo = uniq // (X * Y * Z)
     ehi = uniq % (X * Y * Z)
