@@ -189,19 +189,27 @@ def gs_metrics(model_paths, lpips: bool = False) -> dict:
 
 
 def _lpips(img_a: np.ndarray, img_b: np.ndarray) -> float:
-    try:
-        import torch
-        import lpips as lpips_mod
-    except ImportError as e:
-        raise ImportError(
-            "LPIPS needs the external `lpips` package + VGG weights "
-            "(the reference vendors lpipsPyTorch); install it or run "
-            "gs_metrics(lpips=False).") from e
-    net = _lpips_net_cache.setdefault(
-        "net", lpips_mod.LPIPS(net="vgg"))
-    with torch.no_grad():
-        return float(net(torch.from_numpy(img_a)[None] * 2 - 1,
-                         torch.from_numpy(img_b)[None] * 2 - 1))
+    """Vendored JAX LPIPS (metrics.lpips — the reference's lpipsPyTorch
+    equivalent). Weights load from GS2MESH_LPIPS_VGG / GS2MESH_LPIPS_LIN
+    checkpoint files (torchvision VGG16 features + LPIPS v0.1 vgg linear
+    heads) — the reference downloads the same artifacts at runtime; this
+    environment has no egress, so they are an on-disk input here like
+    every other model checkpoint (DLNR/SAM2/GDINO)."""
+    import jax.numpy as jnp
+
+    from gs2mesh_tpu.metrics import convert_lpips_checkpoint, lpips
+
+    if "params" not in _lpips_net_cache:
+        vgg = os.environ.get("GS2MESH_LPIPS_VGG", "")
+        lin = os.environ.get("GS2MESH_LPIPS_LIN", "")
+        if not (vgg and os.path.exists(vgg) and lin and os.path.exists(lin)):
+            raise FileNotFoundError(
+                "LPIPS weights not found: set GS2MESH_LPIPS_VGG (torchvision "
+                "vgg16 features state_dict) and GS2MESH_LPIPS_LIN (LPIPS "
+                "v0.1 vgg linear heads), or run gs_metrics(lpips=False).")
+        _lpips_net_cache["params"] = convert_lpips_checkpoint(vgg, lin)
+    return float(lpips(_lpips_net_cache["params"],
+                       jnp.asarray(img_a)[None], jnp.asarray(img_b)[None])[0])
 
 
 _lpips_net_cache: dict = {}
