@@ -83,6 +83,7 @@ def test_gdino_golden(golden):
     _close(o["pred_boxes"], golden["gdino_boxes"])
 
 
+@pytest.mark.slow
 def test_sam2_golden(golden):
     from gs2mesh_tpu.sam2 import (SAM2Config, SAM2ImagePredictor,
                                   SAM2VideoPredictor, init_sam2_params)

@@ -244,6 +244,7 @@ def test_pallas_interpret_grads_match_golden():
                                    atol=5e-5, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_bf16_carry_close_to_golden():
     """The production default carries conic/opacity/rgb through the sort as
     bf16 pairs (config.py feat_carry_bf16): image must stay within bf16
