@@ -1,8 +1,13 @@
 """Sub-stage timings inside emit fwd/bwd on the live chip (perf triage).
 
-Breaks the emit stage (the round-3 hot spot) into: table build, Pallas
-decode, lax.sort (key+payloads), tile ranges + chunk-layout assembly; and
-the backward into: compaction, payload pack, id sort, MXU segment-sum.
+Breaks the emit stage into: table build, Pallas decode, lax.sort
+(key+payloads), tile ranges + chunk-layout assembly; and the backward into:
+compaction, payload pack, id sort, MXU segment-sum.
+
+NOTE (round 5): the backward "compaction mask+perm+gather" stage here is
+the FALLBACK path only — production appends compacted chunks inside the
+render backward kernel (pallas_kernels.bwd_call_compact) and skips that
+machinery entirely. Whole-frame production numbers: tools/profile_frame.py.
 """
 
 import os
@@ -58,11 +63,15 @@ def main():
     C = K // 128
 
     def blkf(ct):
-        chunk0 = (jnp.arange(C, dtype=i32) * 128).astype(f32)
-        r_start = E._bisect_right(ct[:, 1], chunk0) - 1
-        return jnp.clip(jnp.maximum(r_start, 0) // 128, 0, nb128 - 1)
+        # Production formulation (emit._emit_fwd): group-start scatter +
+        # prefix sum; the 19-round bisect it replaced cost ~2.7 ms here.
+        eo = ct[:, 1]
+        gstart = eo[128::128]
+        cmin = jnp.clip(jnp.ceil(gstart * (1.0 / 128.0)).astype(i32), 0, C)
+        delta = jnp.zeros((C + 1,), i32).at[cmin].add(1, mode="drop")
+        return jnp.clip(jnp.cumsum(delta[:C]), 0, nb128 - 1)
 
-    blk = timeit("fwd: chunk->block bisect", jax.jit(blkf), ctable)
+    blk = timeit("fwd: chunk->block scatter+cumsum", jax.jit(blkf), ctable)
 
     def decode(ct, b, npairs):
         return E.emission_decode_pallas(ct, b, npairs, W, H, cfg)
