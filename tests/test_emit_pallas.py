@@ -164,3 +164,64 @@ def test_bwd_compaction_branches():
     drows2 = np.asarray(_emit_bwd_tpu(jnp.asarray(ct2), jnp.asarray(ids),
                                       n_rows, cfg))
     np.testing.assert_allclose(drows2, ref2, rtol=2e-5, atol=2e-5)
+
+
+def test_reduce_compact_cts_matches_scatter():
+    """The fused path's per-gaussian reduction over a KERNEL-COMPACTED
+    cotangent stream (ids bitcast in the last feature row, garbage beyond
+    n_written) must equal a plain scatter-add over the live prefix — on
+    BOTH the id-sort+segsum path (forced; the TPU branch, interpret
+    kernels here) and the CPU scatter branch, and on both sides of the
+    capacity-fallback cond."""
+    import jax
+    from gs2mesh_tpu.ops.rasterizer.config import RasterizerConfig
+    from gs2mesh_tpu.ops.rasterizer.emit import reduce_compact_cts
+    from gs2mesh_tpu.ops.rasterizer.tile_render import FEAT
+
+    rng = np.random.default_rng(7)
+    KC, chunk, n_rows = 300, 128, 300
+    dpairs = rng.normal(size=(KC, FEAT, chunk)).astype(np.float32)
+    dpairs[:, 9:, :] = 0.0
+    ids = rng.integers(0, n_rows, size=(KC, chunk)).astype(np.int32)
+    dpairs[:, FEAT - 1, :] = ids.view(np.float32)
+    # Garbage beyond the live prefix, including NaN bit patterns that
+    # would poison an unmasked one-hot matmul.
+    n_written = 10
+    dpairs[n_written:] = np.nan
+    dpairs[n_written:, FEAT - 1, :] = \
+        rng.integers(0, 2**31, size=(KC - n_written, chunk),
+                     dtype=np.int64).astype(np.int32).view(np.float32)
+
+    ref = np.zeros((n_rows, FEAT), np.float32)
+    for c in range(n_written):
+        for j in range(chunk):
+            ref[ids[c, j]] += np.nan_to_num(dpairs[c, :, j])
+
+    # frac 0.9 -> cap 270 < KC and n_written 10 <= cap: the compact branch
+    # of the cond (sorts the 270-chunk prefix). With n_written forced past
+    # a 256 cap the fallback branch must also agree — emulate by shrinking
+    # frac so cap (256 floor) < n_written' where the extra chunks are the
+    # same garbage (the fallback sorts all KC with masked ids).
+    for frac, label in ((0.9, "compact-branch"), (0.1, "fallback-branch")):
+        cfg = RasterizerConfig(pair_capacity=KC * chunk,
+                               grad_carry_bf16=False,
+                               bwd_compact_frac=frac)
+        if label == "fallback-branch":
+            # cap = 256; make the live count exceed it so the cond takes
+            # the full-size path (the extra live chunks are zeros so the
+            # reference sum is unchanged).
+            dpairs[n_written:260] = 0.0
+            ids_pad = rng.integers(0, n_rows, size=(260 - n_written, chunk))
+            dpairs[n_written:260, FEAT - 1, :] = \
+                ids_pad.astype(np.int32).view(np.float32)
+            n_written = 260
+        got = np.asarray(jax.jit(
+            lambda d, nw, cfg=cfg: reduce_compact_cts(
+                d, nw, n_rows, cfg, force_sort_path=True))(
+                    jnp.asarray(dpairs), jnp.int32(n_written)))
+        np.testing.assert_allclose(got[:, :9], ref[:, :9], rtol=2e-5,
+                                   atol=1e-4, err_msg=label)
+        cpu = np.asarray(reduce_compact_cts(
+            jnp.asarray(dpairs), jnp.int32(n_written), n_rows, cfg))
+        np.testing.assert_allclose(cpu[:, :9], ref[:, :9], rtol=2e-5,
+                                   atol=1e-4, err_msg=label + "-scatter")
