@@ -296,3 +296,33 @@ def test_culled_gaussians_mid_array_match_golden():
     out = run_xla(args)
     np.testing.assert_allclose(np.asarray(out.image), np.asarray(img_g),
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_packed_grads_match_xla():
+    """The production fused path (emit_render_fused: compacted backward,
+    id-carrying append — impl='pallas' in packed-carry mode, interpret
+    kernels here) must match the packed XLA fallback's gradients to the
+    pre-round-5 envelope (the residual is compositor float-op order;
+    measured bit-identical to the old two-op pallas path on this scene)."""
+    cfgp = RasterizerConfig(pair_capacity=1 << 14, sort_stable=True)
+    s = sphere_scene(n=600)
+    args = tuple(jnp.asarray(s[k]) for k in
+                 ("means3d", "scales", "rotations", "opacities", "shs"))
+
+    def loss(impl):
+        def f(*a):
+            out = rasterize(*a, CAM, 0, bg=BG, cfg=cfgp, impl=impl,
+                            max_per_tile=4096)
+            return jnp.mean(out.image ** 2) + 0.1 * jnp.mean(out.final_T)
+        return f
+
+    gx = jax.jit(lambda a: jax.value_and_grad(
+        loss("xla"), argnums=(0, 1, 2, 3, 4))(*a))(args)
+    gp = jax.jit(lambda a: jax.value_and_grad(
+        loss("pallas"), argnums=(0, 1, 2, 3, 4))(*a))(args)
+    assert float(gp[0]) == pytest.approx(float(gx[0]), rel=1e-5)
+    for i, (a, b) in enumerate(zip(gx[1], gp[1])):
+        a, b = np.asarray(a), np.asarray(b)
+        d = np.abs(a - b).max()
+        assert d < 5e-3 * max(float(np.abs(a).max()), 1.0), (i, d)
