@@ -140,6 +140,7 @@ def test_dryrun_multichip_entry_point():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_tile_sharding_divides_compositing_work():
     """Each device emits/composites only its tile slice: per-device pair
     counts must sum to ~the single-chip total (boundary splats duplicate
