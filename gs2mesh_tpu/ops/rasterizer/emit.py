@@ -57,7 +57,8 @@ NCOLS = 9   # live feature columns: x, y, conic a/b/c, opacity, r, g, b
 IDMASK = 0x7FF          # 11 low mantissa bits per mean carry gaussian-id half
 IDKEEP = 0xFFFFF800     # complement of IDMASK (u32-safe literal)
 OSENT = float(1 << 28)  # offset sentinel for non-run table rows
-DEC_S = 16              # chunks decoded per Pallas grid step
+DEC_S = 32              # chunks decoded per Pallas grid step (32 measured
+                        # ~0.1 Mpix/s over 16 on v5e; 8 loses ~0.15)
 DEC_W = 256             # decode window rows (2 aligned 128-row blocks)
 NEXACT = 8  # table rows decoded f32-exact: rid, offset, x0, y0, rw, depth,
             # mx, my (ints < 2^24 + sub-pixel means). The remaining 8 rows
@@ -645,7 +646,8 @@ def unstuff_ids(ux: jnp.ndarray, uy: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 SPAN = 16  # chunks fetched per DMA (covers a typical block in one span)
-GW = 512   # gaussians per reduction block: wide blocks cut the number of
+GW = 512   # gaussians per reduction block (measured optimum on v5e:
+           # 256 and 1024 both lose ~0.4 Mpix/s): wide blocks cut the number of
            # DMA chains / block overheads 4x vs 128-wide blocks (the extra
            # one-hot width is nearly free on the MXU at bf16)
 NBB = 2    # gaussian blocks reduced per grid step (cross-block prefetch
