@@ -129,6 +129,7 @@ def main():
         return jnp.sum(col) + jnp.sum(t)
 
     ct3d = jax.jit(jax.grad(render_loss))(pair_feat)
+    ct3d = ct3d[:K // chunk]          # drop the span-DMA overrun pad
     KC = ct3d.shape[0]
     nz = jax.jit(lambda c: jnp.sum(
         (jnp.max(jnp.abs(c), axis=(1, 2)) > 0.0).astype(i32)))(ct3d)
